@@ -1,0 +1,90 @@
+"""Kernel region enumeration: the ``ME.KernelGenerator`` replacement.
+
+The reference builds kernel regions through ``ME.KernelGenerator`` with
+HYPERCUBE / HYPERCROSS / HYBRID region types
+(/root/reference/pretrain/pointcontrast/model/modules/common.py:117-167).
+Here a kernel is just its list of integer offsets, enumerated host-side; the
+device-side conv consumes one gather-index row per offset.
+
+Conventions (all in *level units*, i.e. the tensor-stride-normalized lattice):
+  - odd kernel size k: offsets in [-(k//2), k//2]
+  - even kernel size k: offsets in [0, k)   (matches ME's stride-2 k=2 convs,
+    where output voxel c covers input children 2c + {0,1}^D)
+  - first axis varies fastest (x-fastest order)
+"""
+from __future__ import annotations
+
+import functools
+import itertools
+
+import numpy as np
+
+
+def _axis_offsets(k: int, dilation: int = 1) -> list[int]:
+    if k % 2 == 1:
+        return [d * dilation for d in range(-(k // 2), k // 2 + 1)]
+    return [d * dilation for d in range(k)]
+
+
+@functools.lru_cache(maxsize=None)
+def kernel_offsets(
+    kernel_size,
+    dimension: int = 3,
+    region: str = "hypercube",
+    dilation: int = 1,
+    axis_types: tuple | None = None,
+) -> np.ndarray:
+    """Enumerate kernel offsets as an [K, dimension] int32 array.
+
+    Args:
+      kernel_size: int or tuple of per-axis ints.
+      region: 'hypercube' | 'hypercross' | 'hybrid' (per-axis ``axis_types``).
+      axis_types: for 'hybrid', a tuple of 'hypercube'/'hypercross' per axis
+        (reference: spatial hypercube x temporal hypercross for 4D nets).
+    """
+    if isinstance(kernel_size, int):
+        ks = (kernel_size,) * dimension
+    else:
+        ks = tuple(kernel_size)
+        if len(ks) != dimension:
+            raise ValueError(f"kernel_size {ks} does not match dimension {dimension}")
+
+    if region == "hypercube":
+        per_axis = [_axis_offsets(k, dilation) for k in ks]
+        # x-fastest: iterate the last axis in the outer loop.
+        combos = itertools.product(*reversed(per_axis))
+        offs = np.array([tuple(reversed(c)) for c in combos], dtype=np.int32)
+        return offs
+    if region == "hypercross":
+        offs = [np.zeros(dimension, dtype=np.int32)]
+        for d in range(dimension):
+            for o in _axis_offsets(ks[d], dilation):
+                if o == 0:
+                    continue
+                v = np.zeros(dimension, dtype=np.int32)
+                v[d] = o
+                offs.append(v)
+        return np.stack(offs)
+    if region == "hybrid":
+        if axis_types is None:
+            raise ValueError("hybrid region requires axis_types")
+        # Cube over the cube axes, cross over the cross axes: the offset set is
+        # the cube product, with cross axes restricted to one-hot deviations.
+        cube_axes = [d for d, t in enumerate(axis_types) if t == "hypercube"]
+        cross_axes = [d for d, t in enumerate(axis_types) if t == "hypercross"]
+        cube_part = kernel_offsets(
+            tuple(ks[d] for d in cube_axes), len(cube_axes), "hypercube", dilation
+        )
+        cross_part = kernel_offsets(
+            tuple(ks[d] for d in cross_axes), len(cross_axes), "hypercross", dilation
+        )
+        offs = np.zeros((len(cross_part), len(cube_part), dimension), dtype=np.int32)
+        offs[:, :, cube_axes] = cube_part[None, :, :]
+        offs[:, :, cross_axes] = cross_part[:, None, :]
+        return offs.reshape(-1, dimension)
+    raise ValueError(f"unknown region type: {region}")
+
+
+def offset_index(offsets: np.ndarray) -> dict:
+    """Map each offset tuple to its row index in ``offsets``."""
+    return {tuple(int(v) for v in o): i for i, o in enumerate(offsets)}

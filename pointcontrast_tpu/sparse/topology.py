@@ -1,0 +1,224 @@
+"""Batch coordinate pyramid + kernel maps: the coordinate-manager replacement.
+
+MinkowskiEngine builds (and caches) kernel maps inside its C++ coordinate
+manager every time a conv layer runs (reference call path:
+/root/reference/pretrain/pointcontrast/model/modules/common.py:127-167 ->
+ME.MinkowskiConvolution).  The TPU design inverts this: the full coordinate
+pyramid for a sparse U-Net -- every stride level's coordinate set and every
+gather map -- is computed *once per batch on the host* (vectorized numpy) and
+fed to the jitted step as static-shaped int32 arrays.  The jitted graph is
+then pure gather + matmul, which XLA maps straight onto the MXU.
+
+Key structural facts that make the maps gather-only (no scatter):
+  - stride-1 conv: output coords == input coords; for each kernel offset an
+    output voxel has at most ONE input neighbor  -> nbr[K, N] gather map.
+  - stride-2 k=2 conv: output coords = unique(floor(in/2)); input child at
+    2c+off exists at most once per offset       -> down_nbr[2^D, N_out].
+  - stride-2 k=2 transpose conv: outputs at the (reused) finer level coords;
+    each fine voxel has exactly one coarse parent and one kernel offset
+    (f - 2*floor(f/2))                          -> up_parent/up_offset[N_out].
+
+Missing neighbors point at the last padded row, whose features are kept at
+zero by the masked ops in ``sparse.ops``, so no masking is needed inside the
+matmul itself.
+
+All shapes are padded to bucketed sizes (``bucket_size``) so XLA sees a small
+number of distinct compiled shapes across batches.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+from flax import struct
+
+from pointcontrast_tpu.sparse.hashing import HashSpec
+from pointcontrast_tpu.sparse.kernel_map import kernel_offsets, offset_index
+
+_BUCKET_BASE = 256
+
+
+def bucket_size(n: int, base: int = _BUCKET_BASE) -> int:
+    """Smallest bucket strictly greater than n, from a geometric {1, 1.5}*2^k
+    grid, so recompilation happens only O(log N) times across batch sizes."""
+    b = base
+    while b <= n:
+        b = b * 3 // 2 if (b & (b - 1)) == 0 else (b // 3) * 4
+    return b
+
+
+@struct.dataclass
+class LevelTopo:
+    """Static-shaped per-level gather maps (device-side pytree)."""
+
+    nbr: jnp_array = struct.field(default=None)  # [K, Npad] same-level map
+    valid: jnp_array = struct.field(default=None)  # [Npad] float32 mask
+    batch: jnp_array = struct.field(default=None)  # [Npad] int32 sample id
+    down_nbr: Optional["jnp_array"] = None  # [2^D, Npad_next]: level l -> l+1
+    up_parent: Optional["jnp_array"] = None  # [Npad]: idx into level l+1
+    up_offset: Optional["jnp_array"] = None  # [Npad]: kernel offset id in [0, 2^D)
+    nbr0: Optional["jnp_array"] = None  # level-0 only: conv0 map when k != 3
+
+
+# flax.struct needs a type annotation object; arrays may be numpy or jax.
+jnp_array = object
+
+
+@struct.dataclass
+class Pyramid:
+    levels: tuple
+    num_batch: int = struct.field(pytree_node=False, default=1)
+
+
+@dataclasses.dataclass
+class PyramidMeta:
+    """Host-only metadata (not part of the jitted pytree)."""
+
+    coords: list  # [Nl, 1+D] int32 level coords in level units, padded rows excluded
+    counts: list  # true voxel count per level
+    npads: list  # padded size per level
+    dimension: int
+
+
+def _same_level_map(
+    coords: np.ndarray, offsets: np.ndarray, npad: int, dimension: int
+) -> np.ndarray:
+    """nbr[K, npad]: for each output voxel j and offset k, the index of the
+    input voxel at coords[j] + offsets[k], else the pad row (npad-1)."""
+    n = len(coords)
+    pad = npad - 1
+    max_off = int(np.abs(offsets).max()) if len(offsets) else 0
+    spec = HashSpec.from_coords(coords, margin=max_off + 1)
+    keys = spec.encode(coords)
+    order = np.argsort(keys)
+    skeys = keys[order]
+
+    qcoords = coords[None, :, :].astype(np.int64).copy()
+    qcoords = np.repeat(qcoords, len(offsets), axis=0)  # [K, N, 1+D]
+    qcoords[:, :, 1:] += offsets[:, None, :]  # batch column untouched
+    qkeys = spec.encode(qcoords)  # [K, N]
+    pos = np.searchsorted(skeys, qkeys.ravel()).reshape(qkeys.shape)
+    pos_c = np.minimum(pos, n - 1)
+    found = skeys[pos_c] == qkeys
+    nbr = np.where(found, order[pos_c], pad).astype(np.int32)
+    out = np.full((len(offsets), npad), pad, dtype=np.int32)
+    out[:, :n] = nbr
+    return out
+
+
+def _downsample(coords: np.ndarray):
+    """Unique floor(c/2) coarse coords + per-fine parent index & offset id."""
+    coarse_of_fine = coords.copy()
+    coarse_of_fine[:, 1:] = np.floor_divide(coords[:, 1:], 2)
+    spec = HashSpec.from_coords(coarse_of_fine)
+    keys = spec.encode(coarse_of_fine)
+    sorted_keys, first_idx, inverse = np.unique(
+        keys, return_index=True, return_inverse=True
+    )
+    # Keep coarse voxels in first-occurrence (input) order for determinism.
+    perm = np.argsort(first_idx, kind="stable")  # rank -> slot order
+    slot_of_rank = np.empty_like(perm)
+    slot_of_rank[perm] = np.arange(len(perm))
+    coarse = coarse_of_fine[np.sort(first_idx)]
+    parent = slot_of_rank[inverse].astype(np.int32)  # fine -> coarse slot
+    child_off = (coords[:, 1:] - 2 * coarse_of_fine[:, 1:]).astype(np.int32)
+    return coarse, parent, child_off
+
+
+def build_pyramid(
+    coords: np.ndarray,
+    num_levels: int,
+    dimension: int = 3,
+    conv0_kernel_size: int = 3,
+    block_kernel_size: int = 3,
+    region: str = "hypercube",
+    npads: list | None = None,
+    num_batch: int | None = None,
+):
+    """Build the full coordinate pyramid for a sparse U-Net.
+
+    Args:
+      coords: [N, 1+dimension] int array of unique batched voxel coords
+        (batch index first, spatial coords in voxel units).
+      num_levels: number of stride levels (Res16UNet: 5 -> strides 1,2,4,8,16).
+      conv0_kernel_size: kernel size of the stem conv (level 0); if != 3 an
+        extra map ``nbr0`` is built.
+      npads: optional explicit padded sizes per level (default: bucket_size).
+
+    Returns:
+      (Pyramid, PyramidMeta)
+    """
+    coords = np.asarray(coords)
+    if coords.ndim != 2 or coords.shape[1] != dimension + 1:
+        raise ValueError(f"coords must be [N, {dimension + 1}], got {coords.shape}")
+    coords = coords.astype(np.int32)
+    if num_batch is None:
+        num_batch = int(coords[:, 0].max()) + 1 if len(coords) else 1
+
+    offs3 = kernel_offsets(block_kernel_size, dimension, region)
+    offs2 = kernel_offsets(2, dimension, "hypercube")
+    off2_idx = offset_index(offs2)
+
+    levels = []
+    meta_coords, meta_counts, meta_npads = [], [], []
+    cur = coords
+    for lvl in range(num_levels):
+        n = len(cur)
+        npad = npads[lvl] if npads is not None else bucket_size(n)
+        if npad <= n:
+            raise ValueError(f"level {lvl}: npad {npad} must exceed count {n}")
+
+        nbr = _same_level_map(cur, offs3, npad, dimension)
+        valid = np.zeros(npad, dtype=np.float32)
+        valid[:n] = 1.0
+        batch = np.full(npad, num_batch, dtype=np.int32)
+        batch[:n] = cur[:, 0]
+
+        nbr0 = None
+        if lvl == 0 and conv0_kernel_size != block_kernel_size:
+            offs0 = kernel_offsets(conv0_kernel_size, dimension, region)
+            nbr0 = _same_level_map(cur, offs0, npad, dimension)
+
+        level = dict(nbr=nbr, valid=valid, batch=batch, nbr0=nbr0)
+        meta_coords.append(cur)
+        meta_counts.append(n)
+        meta_npads.append(npad)
+
+        if lvl < num_levels - 1:
+            coarse, parent, child_off = _downsample(cur)
+            nc = len(coarse)
+            npad_next = npads[lvl + 1] if npads is not None else bucket_size(nc)
+            if npad_next <= nc:
+                raise ValueError(
+                    f"level {lvl + 1}: npad {npad_next} must exceed count {nc}"
+                )
+            up_parent = np.full(npad, npad_next - 1, dtype=np.int32)
+            up_parent[:n] = parent
+            up_offset = np.zeros(npad, dtype=np.int32)
+            up_offset[:n] = np.array(
+                [off2_idx[tuple(o)] for o in map(tuple, child_off)], dtype=np.int32
+            )
+            # down_nbr built from the coarse (output) side: child at 2c + off.
+            down_nbr = np.full((len(offs2), npad_next), npad - 1, dtype=np.int32)
+            fine_spec = HashSpec.from_coords(cur, margin=2)
+            fine_keys = fine_spec.encode(cur)
+            order = np.argsort(fine_keys)
+            skeys = fine_keys[order]
+            q = np.repeat(coarse[None, :, :].astype(np.int64), len(offs2), axis=0)
+            q[:, :, 1:] = 2 * q[:, :, 1:] + offs2[:, None, :]
+            qkeys = fine_spec.encode(q)
+            pos = np.searchsorted(skeys, qkeys.ravel()).reshape(qkeys.shape)
+            pos_c = np.minimum(pos, n - 1)
+            found = skeys[pos_c] == qkeys
+            down_nbr[:, :nc] = np.where(found, order[pos_c], npad - 1)
+
+            level.update(down_nbr=down_nbr, up_parent=up_parent, up_offset=up_offset)
+            cur = coarse
+        levels.append(LevelTopo(**level))
+
+    pyramid = Pyramid(levels=tuple(levels), num_batch=num_batch)
+    meta = PyramidMeta(
+        coords=meta_coords, counts=meta_counts, npads=meta_npads, dimension=dimension
+    )
+    return pyramid, meta
