@@ -1,0 +1,114 @@
+"""Prefetching pair loader.
+
+Replaces torch DataLoader + worker processes
+(/root/reference/pretrain/pointcontrast/lib/ddp_data_loaders.py:272-309)
+with a thread-pool pipeline: sample indices -> __getitem__ in parallel ->
+collate to a static-shaped ``PairBatch`` -> bounded prefetch queue.  The
+heavy per-sample work (quantize, hash join, pyramid build) is numpy, which
+releases the GIL inside its C kernels, so threads scale adequately without
+process fork overhead; ``num_shards``/``shard_id`` reproduce the reference's
+rank-strided sharding for multi-host feeding.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from pointcontrast_tpu.data.collate import PadScheme, collate_pair
+from pointcontrast_tpu.data.sampler import DistributedInfSampler
+
+
+class PairLoader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        scheme: PadScheme,
+        mode: str = "nce",
+        npos: int = 4096,
+        num_pos: int = 4096,
+        num_hn: int = 1024,
+        num_device_batches: int = 1,
+        num_workers: int = 2,
+        prefetch: int = 2,
+        shuffle: bool = True,
+        seed: int = 0,
+        num_shards: int = 1,
+        shard_id: int = 0,
+    ):
+        """num_device_batches > 1 stacks that many independent per-device
+        batches along a leading axis (the data-parallel mesh axis)."""
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.scheme = scheme
+        self.mode = mode
+        self.npos = npos
+        self.num_pos = num_pos
+        self.num_hn = num_hn
+        self.num_device_batches = num_device_batches
+        self.sampler = DistributedInfSampler(
+            len(dataset), num_shards, shard_id, shuffle, seed
+        )
+        self.rng = np.random.RandomState(seed + 13 * shard_id)
+        self._pool = ThreadPoolExecutor(max_workers=max(1, num_workers))
+        self._queue: queue.Queue = queue.Queue(maxsize=prefetch)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._produce, daemon=True)
+        self._thread.start()
+
+    def _one_device_batch(self):
+        idxs = [next(self.sampler) for _ in range(self.batch_size)]
+        samples = list(self._pool.map(self.dataset.__getitem__, idxs))
+        return collate_pair(
+            samples,
+            self.scheme,
+            mode=self.mode,
+            npos=self.npos,
+            num_pos=self.num_pos,
+            num_hn=self.num_hn,
+            rng=self.rng,
+        )
+
+    def _produce(self):
+        import jax
+
+        while not self._stop.is_set():
+            try:
+                if self.num_device_batches == 1:
+                    batch = self._one_device_batch()
+                else:
+                    parts = [
+                        self._one_device_batch()
+                        for _ in range(self.num_device_batches)
+                    ]
+                    batch = jax.tree.map(lambda *xs: np.stack(xs), *parts)
+            except Exception as e:  # propagate to consumer
+                self._queue.put(e)
+                return
+            while not self._stop.is_set():
+                try:
+                    self._queue.put(batch, timeout=1.0)
+                    break
+                except queue.Full:
+                    continue
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._queue.get()
+        if isinstance(item, Exception):
+            raise item
+        return item
+
+    def close(self):
+        self._stop.set()
+        try:
+            while True:
+                self._queue.get_nowait()
+        except queue.Empty:
+            pass
+        self._pool.shutdown(wait=False)

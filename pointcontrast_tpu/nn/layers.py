@@ -198,9 +198,14 @@ def relu(features):
     return jax.nn.relu(features)
 
 
-def l2_normalize_rows(features, valid, eps: float = 1e-8):
+def l2_normalize_rows(features, valid, eps: float = 1e-12):
     """Row-wise L2 normalization with a guard so padded (all-zero) rows stay
-    zero (the reference divides by the raw norm, res16unet.py:262-266)."""
-    norm = jnp.linalg.norm(features.astype(jnp.float32), axis=1, keepdims=True)
-    out = features / jnp.maximum(norm, eps).astype(features.dtype)
+    zero (the reference divides by the raw norm, res16unet.py:262-266).
+
+    Implemented as x * rsqrt(max(sum x^2, eps)) — sqrt's gradient at exactly
+    zero is NaN, and even a masked-out NaN poisons the backward pass
+    (0 * NaN = NaN), so the clamp must happen *inside* the sqrt."""
+    sq = jnp.sum(jnp.square(features.astype(jnp.float32)), axis=1, keepdims=True)
+    inv = jax.lax.rsqrt(jnp.maximum(sq, eps))
+    out = features * inv.astype(features.dtype)
     return ops.mask_rows(out, valid)

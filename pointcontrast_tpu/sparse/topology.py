@@ -79,25 +79,28 @@ class PyramidMeta:
     counts: list  # true voxel count per level
     npads: list  # padded size per level
     dimension: int
+    truncated: list  # (level, n_dropped) pairs when allow_truncate kicked in
 
 
 def _same_level_map(
     coords: np.ndarray, offsets: np.ndarray, npad: int, dimension: int
 ) -> np.ndarray:
     """nbr[K, npad]: for each output voxel j and offset k, the index of the
-    input voxel at coords[j] + offsets[k], else the pad row (npad-1)."""
+    input voxel at coords[j] + offsets[k], else the pad row (npad-1).
+
+    Key linearity makes this cheap: with a mixed-radix spec, the key of
+    ``c + off`` is ``key(c) + off . stride``, so each offset's query keys are
+    one scalar away from the precomputed base keys."""
     n = len(coords)
     pad = npad - 1
     max_off = int(np.abs(offsets).max()) if len(offsets) else 0
     spec = HashSpec.from_coords(coords, margin=max_off + 1)
-    keys = spec.encode(coords)
+    keys = spec.encode(coords)  # [N]
     order = np.argsort(keys)
     skeys = keys[order]
 
-    qcoords = coords[None, :, :].astype(np.int64).copy()
-    qcoords = np.repeat(qcoords, len(offsets), axis=0)  # [K, N, 1+D]
-    qcoords[:, :, 1:] += offsets[:, None, :]  # batch column untouched
-    qkeys = spec.encode(qcoords)  # [K, N]
+    off_keys = offsets.astype(np.int64) @ spec.stride[1:]  # [K]
+    qkeys = keys[None, :] + off_keys[:, None]  # [K, N]
     pos = np.searchsorted(skeys, qkeys.ravel()).reshape(qkeys.shape)
     pos_c = np.minimum(pos, n - 1)
     found = skeys[pos_c] == qkeys
@@ -135,6 +138,7 @@ def build_pyramid(
     region: str = "hypercube",
     npads: list | None = None,
     num_batch: int | None = None,
+    allow_truncate: bool = True,
 ):
     """Build the full coordinate pyramid for a sparse U-Net.
 
@@ -145,6 +149,8 @@ def build_pyramid(
       conv0_kernel_size: kernel size of the stem conv (level 0); if != 3 an
         extra map ``nbr0`` is built.
       npads: optional explicit padded sizes per level (default: bucket_size).
+      allow_truncate: drop coarse voxels beyond a level's pad instead of
+        raising (meta.truncated records (level, n_dropped)).
 
     Returns:
       (Pyramid, PyramidMeta)
@@ -161,7 +167,7 @@ def build_pyramid(
     off2_idx = offset_index(offs2)
 
     levels = []
-    meta_coords, meta_counts, meta_npads = [], [], []
+    meta_coords, meta_counts, meta_npads, truncated = [], [], [], []
     cur = coords
     for lvl in range(num_levels):
         n = len(cur)
@@ -190,24 +196,41 @@ def build_pyramid(
             nc = len(coarse)
             npad_next = npads[lvl + 1] if npads is not None else bucket_size(nc)
             if npad_next <= nc:
-                raise ValueError(
-                    f"level {lvl + 1}: npad {npad_next} must exceed count {nc}"
-                )
+                if not allow_truncate:
+                    raise ValueError(
+                        f"level {lvl + 1}: npad {npad_next} must exceed count {nc}"
+                    )
+                # Graceful truncation: keep the first npad-1 coarse voxels
+                # (first-occurrence order); orphaned fine voxels point at the
+                # coarse pad row, so they receive zeros from the decoder's
+                # transpose conv but keep their encoder features via the skip
+                # concat.  Bounded accuracy loss instead of a shape blow-up.
+                limit = npad_next - 1
+                coarse = coarse[:limit]
+                dropped = parent >= limit
+                parent = np.where(dropped, limit, parent).astype(np.int32)
+                child_off = np.where(dropped[:, None], 0, child_off).astype(np.int32)
+                truncated.append((lvl + 1, nc - limit))
+                nc = limit
             up_parent = np.full(npad, npad_next - 1, dtype=np.int32)
             up_parent[:n] = parent
             up_offset = np.zeros(npad, dtype=np.int32)
-            up_offset[:n] = np.array(
-                [off2_idx[tuple(o)] for o in map(tuple, child_off)], dtype=np.int32
-            )
+            pow2 = 1 << np.arange(dimension)
+            lut = np.empty(1 << dimension, dtype=np.int32)
+            lut[offs2 @ pow2] = np.arange(len(offs2), dtype=np.int32)
+            up_offset[:n] = lut[child_off @ pow2]
             # down_nbr built from the coarse (output) side: child at 2c + off.
+            # Base key of the doubled coarse coords + linear offset keys.
             down_nbr = np.full((len(offs2), npad_next), npad - 1, dtype=np.int32)
             fine_spec = HashSpec.from_coords(cur, margin=2)
             fine_keys = fine_spec.encode(cur)
             order = np.argsort(fine_keys)
             skeys = fine_keys[order]
-            q = np.repeat(coarse[None, :, :].astype(np.int64), len(offs2), axis=0)
-            q[:, :, 1:] = 2 * q[:, :, 1:] + offs2[:, None, :]
-            qkeys = fine_spec.encode(q)
+            doubled = coarse.astype(np.int64).copy()
+            doubled[:, 1:] *= 2
+            base = fine_spec.encode(doubled)  # [nc]
+            off_keys = offs2.astype(np.int64) @ fine_spec.stride[1:]
+            qkeys = base[None, :] + off_keys[:, None]  # [K2, nc]
             pos = np.searchsorted(skeys, qkeys.ravel()).reshape(qkeys.shape)
             pos_c = np.minimum(pos, n - 1)
             found = skeys[pos_c] == qkeys
@@ -219,6 +242,7 @@ def build_pyramid(
 
     pyramid = Pyramid(levels=tuple(levels), num_batch=num_batch)
     meta = PyramidMeta(
-        coords=meta_coords, counts=meta_counts, npads=meta_npads, dimension=dimension
+        coords=meta_coords, counts=meta_counts, npads=meta_npads,
+        dimension=dimension, truncated=truncated,
     )
     return pyramid, meta

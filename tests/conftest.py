@@ -6,7 +6,10 @@ has a single TPU chip); set the XLA flags *before* jax is imported anywhere.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the environment presets a TPU platform (e.g. the axon
+# tunnel): per-op eager dispatch over the tunnel makes tests pathologically
+# slow, and the multi-device tests need the 8-way virtual CPU mesh anyway.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -20,3 +23,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent compilation cache: the train-step programs are large (8-stage
+# U-Nets, fwd+bwd) and dominate test wall-time; caching makes re-runs fast.
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_pc_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
