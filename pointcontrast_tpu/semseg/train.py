@@ -1,0 +1,222 @@
+"""Semseg finetune training loop.
+
+Mirrors /root/reference/downstream/semseg/lib/train.py:46-233: per-iter
+gradient accumulation (iter_size), CE loss with ignore 255, PolyLR stepped
+per iteration, periodic validation with best-mIoU checkpoint tracking, and
+lenient (shape-matched) pretrain-weight transfer (ddp_main.py:150-176).
+
+TPU-first: the random coordinate shift and color normalization live in the
+collator (they change the voxel lattice / are pure host math), so the jitted
+step is one fused fwd+bwd+update program.
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pointcontrast_tpu.losses.semseg import (
+    cross_entropy_ignore,
+    fast_hist,
+    per_class_iu,
+)
+from pointcontrast_tpu.parallel.mesh import pmean_if_parallel
+from pointcontrast_tpu.semseg.dataset import SemsegBatch
+from pointcontrast_tpu.train import optim
+from pointcontrast_tpu.train.checkpoint import (
+    latest_checkpoint,
+    lenient_filter,
+    load_checkpoint,
+    save_checkpoint,
+)
+from pointcontrast_tpu.train.state import TrainState, create_train_state
+from pointcontrast_tpu.utils.timer import AverageMeter, Timer
+
+log = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class SemsegConfig:
+    """Mirrors the reference optimizer/train config groups
+    (downstream/semseg/config/default.yaml)."""
+
+    optimizer: str = "sgd"
+    lr: float = 0.1
+    momentum: float = 0.9
+    weight_decay: float = 1e-4
+    scheduler: str = "polylr"
+    poly_power: float = 0.9
+    max_iter: int = 60000
+    iter_size: int = 1
+    ignore_label: int = 255
+    # cadence
+    stat_freq: int = 40
+    val_freq: int = 1000
+    save_freq: int = 1000
+    checkpoint_dir: str = "weights_semseg"
+
+
+def make_semseg_train_step(config: SemsegConfig):
+    def step(state: TrainState, batch: SemsegBatch, axis_name: str | None = None):
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            logits, mut = state.apply_fn(
+                variables, batch.feats, batch.pyramid, train=True,
+                mutable=["batch_stats"],
+            )
+            loss = cross_entropy_ignore(
+                logits, batch.labels, ignore_label=config.ignore_label
+            )
+            pred = jnp.argmax(logits, axis=-1)
+            valid = batch.labels != config.ignore_label
+            acc = (
+                jnp.where(valid, pred == batch.labels, False).sum()
+                / jnp.maximum(valid.sum(), 1)
+            )
+            return loss, (mut["batch_stats"], {"loss": loss, "acc": acc})
+
+        (_, (bs, metrics)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        grads = pmean_if_parallel(grads, axis_name)
+        metrics = pmean_if_parallel(metrics, axis_name)
+        new_state = state.apply_gradients(grads, new_batch_stats=bs)
+        return new_state, metrics
+
+    return step
+
+
+def make_eval_step():
+    def step(state: TrainState, batch: SemsegBatch):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        logits = state.apply_fn(variables, batch.feats, batch.pyramid, train=False)
+        return jnp.argmax(logits, axis=-1), jax.nn.softmax(logits, axis=-1)
+
+    return step
+
+
+def evaluate(state, loader, num_classes: int, num_batches: int,
+             ignore_label: int = 255, eval_step=None):
+    """Validation pass -> (mIoU %, per-class IoU, accuracy %).
+
+    Mirrors lib/test.py:62-197 (fast_hist accumulation + per_class_iu)."""
+    eval_step = eval_step or jax.jit(make_eval_step())
+    hist = np.zeros((num_classes, num_classes))
+    correct = total = 0
+    for _ in range(num_batches):
+        batch = next(loader)
+        pred, _prob = jax.device_get(eval_step(state, batch))
+        labels = np.asarray(batch.labels)
+        mask = labels != ignore_label
+        hist += fast_hist(pred[mask], labels[mask], num_classes)
+        correct += (pred[mask] == labels[mask]).sum()
+        total += mask.sum()
+    ious = per_class_iu(hist) * 100
+    miou = float(np.nanmean(ious))
+    acc = 100.0 * correct / max(total, 1)
+    return miou, ious, acc
+
+
+class SemsegTrainer:
+    def __init__(
+        self,
+        model,
+        train_loader,
+        val_loader,
+        config: SemsegConfig,
+        num_classes: int,
+        pretrained_params=None,
+        mesh=None,
+        rng=None,
+    ):
+        self.config = config
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.num_classes = num_classes
+        self.mesh = mesh
+        schedule = optim.make_scheduler(config.scheduler, config)
+        tx = optim.make_optimizer(config.optimizer, config.lr, schedule, config)
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+        example = next(iter(train_loader))
+        local = (
+            jax.tree.map(lambda x: x[0] if hasattr(x, "ndim") else x, example)
+            if mesh is not None
+            else example
+        )
+        self.state = create_train_state(rng, model, tx, (local.feats, local.pyramid))
+        self._first_batch = example
+
+        if pretrained_params is not None:
+            merged, loaded, skipped = lenient_filter(
+                self.state.params, pretrained_params
+            )
+            self.state = self.state.replace(params=merged)
+            log.info(
+                "lenient transfer: %d loaded, %d skipped (%s)",
+                len(loaded), len(skipped), skipped[:4],
+            )
+
+        step = make_semseg_train_step(config)
+        if mesh is not None:
+            from pointcontrast_tpu.parallel.mesh import data_parallel_step
+
+            self._step = data_parallel_step(step, mesh)
+        else:
+            self._step = jax.jit(lambda s, b: step(s, b, axis_name=None))
+        self._eval_step = jax.jit(make_eval_step())
+
+        self.best_miou = -1.0
+        ckpt = latest_checkpoint(config.checkpoint_dir)
+        if ckpt is not None:
+            payload = load_checkpoint(ckpt)
+            self.state = self.state.replace(
+                step=int(payload["curr_iter"]),
+                params=payload["params"],
+                batch_stats=payload["batch_stats"],
+            )
+            log.info("resumed from %s", ckpt)
+
+    def train(self, num_iters: int | None = None, val_batches: int = 10):
+        cfg = self.config
+        target = min(cfg.max_iter, int(self.state.step) + (num_iters or cfg.max_iter))
+        data_meter, step_timer = AverageMeter(), Timer()
+        batch = self._first_batch
+        self._first_batch = None
+        history = []
+        while int(self.state.step) < target:
+            t0 = time.perf_counter()
+            if batch is None:
+                batch = next(self.train_loader)
+            data_meter.update(time.perf_counter() - t0)
+            step_timer.tic()
+            self.state, metrics = self._step(self.state, batch)
+            batch = None
+            step_timer.toc()
+            curr = int(self.state.step)
+            if curr % cfg.stat_freq == 0 or curr == target:
+                m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                history.append((curr, m))
+                log.info(
+                    "iter %d loss %.4f acc %.3f (data %.3fs step %.3fs)",
+                    curr, m["loss"], m["acc"], data_meter.avg, step_timer.avg,
+                )
+            if self.val_loader is not None and (
+                curr % cfg.val_freq == 0 or curr == target
+            ):
+                miou, ious, acc = evaluate(
+                    self.state, self.val_loader, self.num_classes, val_batches,
+                    cfg.ignore_label, self._eval_step,
+                )
+                log.info("val iter %d mIoU %.2f acc %.2f", curr, miou, acc)
+                if miou > self.best_miou:
+                    self.best_miou = miou
+                    save_checkpoint(cfg.checkpoint_dir, curr, self.state)
+            elif curr % cfg.save_freq == 0 or curr == target:
+                save_checkpoint(cfg.checkpoint_dir, curr, self.state)
+        return history

@@ -32,16 +32,32 @@ def sparse_conv(
     bias: jnp.ndarray | None = None,  # [Cout]
     valid_out: jnp.ndarray | None = None,  # [N_out] float mask
 ) -> jnp.ndarray:
-    """Generalized sparse convolution as a single gather + matmul.
+    """Generalized sparse convolution as K accumulated matmul+gather steps.
+
+    Uses the identity gather(F, nbr_k) @ W_k == gather(F @ W_k, nbr_k): each
+    scan step is one large MXU matmul [N_in, Cin] @ [Cin, Cout] followed by a
+    row gather and accumulate.  Peak temp is [N, Cout] instead of the
+    [N, K*Cin] a materialized im2col gather would need (27x smaller — the
+    all-at-once form OOMs a 16 GB chip on ScanNet-sized batches).
 
     Covers stride-1 convs (nbr = same-level map, N_out == N_in) and stride-2
     downsampling convs (nbr = down map, N_out = coarse level size).
     """
     k, n_out = nbr.shape
     cin = features.shape[-1]
-    g = jnp.take(features, nbr.reshape(-1), axis=0)  # [K*N_out, Cin]
-    g = g.reshape(k, n_out, cin).swapaxes(0, 1).reshape(n_out, k * cin)
-    out = jnp.dot(g, weights.reshape(k * cin, -1), preferred_element_type=jnp.float32)
+    cout = weights.shape[-1]
+
+    if k == 1:
+        y = jnp.dot(features, weights[0], preferred_element_type=jnp.float32)
+        out = jnp.take(y, nbr[0], axis=0)
+    else:
+        def body(acc, inputs):
+            w_k, nbr_k = inputs
+            y = jnp.dot(features, w_k, preferred_element_type=jnp.float32)
+            return acc + jnp.take(y, nbr_k, axis=0), None
+
+        acc0 = jnp.zeros((n_out, cout), jnp.float32)
+        out, _ = jax.lax.scan(body, acc0, (weights, nbr))
     out = out.astype(features.dtype)
     if bias is not None:
         out = out + bias
@@ -62,16 +78,26 @@ def sparse_conv_transpose(
     coordinate set, as in ME's decoder convs (res16unet.py:263-266 via
     coords_key reuse).  Each fine output has exactly one coarse parent and one
     kernel offset, so this is: per-parent matmul against all K kernel slices
-    followed by a per-row offset select."""
+    followed by a per-row offset select.
+
+    Memory-lean scan form (like ``sparse_conv``): per offset k, compute
+    F @ W_k once on the coarse level, gather parents, and keep only rows
+    whose offset id is k — peak temp [N_fine, Cout] instead of
+    [N_fine, K*Cout]."""
     k, cin, cout = weights.shape
-    parent_feats = jnp.take(features, up_parent, axis=0)  # [N_fine, Cin]
-    # [N_fine, Cin] @ [Cin, K*Cout] -> select the slice for each row's offset.
-    all_k = jnp.dot(
-        parent_feats,
-        jnp.transpose(weights, (1, 0, 2)).reshape(cin, k * cout),
-        preferred_element_type=jnp.float32,
-    ).reshape(-1, k, cout)
-    out = jnp.take_along_axis(all_k, up_offset[:, None, None], axis=1)[:, 0, :]
+    n_fine = up_parent.shape[0]
+
+    def body(acc, inputs):
+        w_k, k_idx = inputs
+        y = jnp.dot(features, w_k, preferred_element_type=jnp.float32)
+        g = jnp.take(y, up_parent, axis=0)  # [N_fine, Cout]
+        sel = (up_offset == k_idx).astype(jnp.float32)[:, None]
+        return acc + g * sel, None
+
+    acc0 = jnp.zeros((n_fine, cout), jnp.float32)
+    out, _ = jax.lax.scan(
+        body, acc0, (weights, jnp.arange(k, dtype=up_offset.dtype))
+    )
     out = out.astype(features.dtype)
     if bias is not None:
         out = out + bias

@@ -56,6 +56,7 @@ class LevelTopo:
     valid: jnp_array = struct.field(default=None)  # [Npad] float32 mask
     batch: jnp_array = struct.field(default=None)  # [Npad] int32 sample id
     down_nbr: Optional["jnp_array"] = None  # [2^D, Npad_next]: level l -> l+1
+    down_nbr3: Optional["jnp_array"] = None  # [3^D, Npad_next]: k=3 s=2 map
     up_parent: Optional["jnp_array"] = None  # [Npad]: idx into level l+1
     up_offset: Optional["jnp_array"] = None  # [Npad]: kernel offset id in [0, 2^D)
     nbr0: Optional["jnp_array"] = None  # level-0 only: conv0 map when k != 3
@@ -139,6 +140,7 @@ def build_pyramid(
     npads: list | None = None,
     num_batch: int | None = None,
     allow_truncate: bool = True,
+    build_down3: bool = False,
 ):
     """Build the full coordinate pyramid for a sparse U-Net.
 
@@ -151,6 +153,9 @@ def build_pyramid(
       npads: optional explicit padded sizes per level (default: bucket_size).
       allow_truncate: drop coarse voxels beyond a level's pad instead of
         raising (meta.truncated records (level, n_dropped)).
+      build_down3: also build kernel-3 stride-2 maps (``down_nbr3``), used by
+        the ResNet family's strided residual blocks (reference
+        downstream/semseg/models/resnet.py:99-130 builds stride-2 k=3 convs).
 
     Returns:
       (Pyramid, PyramidMeta)
@@ -237,6 +242,18 @@ def build_pyramid(
             down_nbr[:, :nc] = np.where(found, order[pos_c], npad - 1)
 
             level.update(down_nbr=down_nbr, up_parent=up_parent, up_offset=up_offset)
+
+            if build_down3:
+                offs3s = kernel_offsets(3, dimension, "hypercube")
+                off3_keys = offs3s.astype(np.int64) @ fine_spec.stride[1:]
+                q3 = base[None, :] + off3_keys[:, None]  # [27, nc]
+                pos3 = np.searchsorted(skeys, q3.ravel()).reshape(q3.shape)
+                pos3_c = np.minimum(pos3, n - 1)
+                found3 = skeys[pos3_c] == q3
+                down_nbr3 = np.full((len(offs3s), npad_next), npad - 1, dtype=np.int32)
+                down_nbr3[:, :nc] = np.where(found3, order[pos3_c], npad - 1)
+                level.update(down_nbr3=down_nbr3)
+
             cur = coarse
         levels.append(LevelTopo(**level))
 

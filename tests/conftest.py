@@ -22,6 +22,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # need exact f32. (On TPU the library keeps the hardware default: bf16 MXU.)
 import jax  # noqa: E402
 
+# The axon sitecustomize force-sets jax_platforms="axon,cpu" at interpreter
+# start, overriding JAX_PLATFORMS; force it back so tests run on the local
+# 8-device virtual CPU mesh, not over the TPU tunnel.
+jax.config.update("jax_platforms", "cpu")
+
 jax.config.update("jax_default_matmul_precision", "highest")
 
 # Persistent compilation cache: the train-step programs are large (8-stage

@@ -1,0 +1,171 @@
+"""Semseg app tests: voxelizer semantics, transforms, dataset pipeline,
+end-to-end finetune slice with lenient transfer."""
+import numpy as np
+import pytest
+import jax
+
+from pointcontrast_tpu.data.collate import PadScheme
+from pointcontrast_tpu.semseg import transforms as t
+from pointcontrast_tpu.semseg.dataset import SemsegLoader, collate_semseg
+from pointcontrast_tpu.semseg.datasets.synthetic import SyntheticSemsegDataset
+from pointcontrast_tpu.semseg.train import (
+    SemsegConfig,
+    SemsegTrainer,
+    evaluate,
+)
+from pointcontrast_tpu.semseg.voxelizer import Voxelizer
+
+
+class TestVoxelizer:
+    def test_no_aug_is_pure_scaling(self):
+        rng = np.random.RandomState(0)
+        coords = rng.rand(500, 3) * 2.0
+        feats = rng.rand(500, 3)
+        labels = rng.randint(0, 5, 500)
+        v = Voxelizer(voxel_size=0.1)
+        c, f, l, transform = v.voxelize(coords, feats, labels, rng=rng)
+        assert c.shape[1] == 3 and c.min() == 0
+        # transform reproduces the voxel coords
+        homo = np.hstack([coords, np.ones((500, 1))])
+        mapped = np.floor(homo @ transform.reshape(4, 4).T[:, :3])
+        keys_have = {tuple(r) for r in c.tolist()}
+        keys_want = {tuple(r) for r in mapped.astype(int).tolist()}
+        assert keys_have == keys_want
+
+    def test_label_conflict_ignore(self):
+        coords = np.array([[0.01, 0, 0], [0.02, 0, 0], [0.5, 0, 0]])
+        feats = np.zeros((3, 3))
+        labels = np.array([1, 2, 3])
+        v = Voxelizer(voxel_size=0.1, ignore_label=255)
+        c, f, l, _ = v.voxelize(coords, feats, labels)
+        assert len(c) == 2
+        assert set(l) == {255, 3}
+
+    def test_clip_bound(self):
+        rng = np.random.RandomState(0)
+        coords = rng.rand(1000, 3) * 20 - 10
+        v = Voxelizer(voxel_size=0.5, clip_bound=2.0)
+        c, f, l, _ = v.voxelize(coords, np.zeros((1000, 3)), np.zeros(1000), rng=rng)
+        # clipped to +-2m box around center -> at most ~4m extent in voxels
+        assert (c.max(0) - c.min(0)).max() <= 4.0 / 0.5 + 1
+
+
+class TestTransforms:
+    def test_chromatic_bounds(self):
+        rng = np.random.RandomState(0)
+        feats = rng.rand(200, 3) * 255
+        coords = rng.rand(200, 3)
+        labels = np.zeros(200)
+        for tr in [
+            t.ChromaticTranslation(0.1),
+            t.ChromaticJitter(0.05),
+            t.ChromaticAutoContrast(),
+            t.HueSaturationTranslation(0.5, 0.2),
+        ]:
+            _, f2, _ = tr(coords.copy(), feats.copy(), labels, rng=rng)
+            assert f2[:, :3].min() >= 0 and f2[:, :3].max() <= 255
+
+    def test_hsv_roundtrip(self):
+        rng = np.random.RandomState(1)
+        rgb = (rng.rand(100, 3) * 255).astype(np.uint8).astype(float)
+        back = t.hsv_to_rgb(t.rgb_to_hsv(rgb))
+        assert np.abs(back.astype(float) - rgb).max() <= 2
+
+    def test_flip_keeps_upright(self):
+        rng = np.random.RandomState(2)
+        coords = rng.rand(100, 3) * 10
+        tr = t.RandomHorizontalFlip("z")
+        c2, _, _ = tr(coords.copy(), None, None, rng=rng)
+        np.testing.assert_array_equal(c2[:, 2], coords[:, 2])
+
+    def test_elastic_changes_coords(self):
+        rng = np.random.RandomState(3)
+        coords = rng.rand(500, 3) * 50
+        tr = t.ElasticDistortion(((4, 16),))
+        c2, _, _ = tr(coords.copy(), None, None, rng=np.random.RandomState(0))
+        assert not np.allclose(c2, coords)
+
+
+class TestDatasetPipeline:
+    def test_getitem_and_remap(self):
+        ds = SyntheticSemsegDataset(num_scenes=2, points=2000, seed=0)
+        coords, feats, labels = ds[0]
+        assert coords.dtype == np.int32
+        assert ds.num_classes == 4
+        # remapped labels in {0..3} or 255
+        assert set(np.unique(labels)) <= set(range(4)) | {255}
+        assert (labels == 255).sum() > 0  # ignored strip present
+
+    def test_collate_padding(self):
+        ds = SyntheticSemsegDataset(num_scenes=2, points=2000, seed=0)
+        scheme = PadScheme(npad0=8192)
+        batch = collate_semseg(
+            [ds[0], ds[1]], scheme, rng=np.random.RandomState(0)
+        )
+        n = int(batch.pyramid.levels[0].valid.sum())
+        assert np.all(batch.labels[n:] == 255)
+        assert np.all(batch.feats[n:] == 0)
+        assert batch.feats.min() >= -0.5 and batch.feats.max() <= 0.5
+
+    def test_limit_numpoints_truncates(self):
+        ds = SyntheticSemsegDataset(num_scenes=3, points=2000, seed=0)
+        scheme = PadScheme(npad0=8192)
+        full = collate_semseg([ds[i] for i in range(3)], scheme,
+                              rng=np.random.RandomState(0))
+        n0 = int(full.pyramid.levels[0].valid.sum())
+        capped = collate_semseg(
+            [ds[i] for i in range(3)], scheme, limit_numpoints=n0 // 2,
+            rng=np.random.RandomState(0),
+        )
+        assert capped.num_samples < 3
+
+
+class TestSemsegEndToEnd:
+    def test_finetune_slice(self, tmp_path):
+        from pointcontrast_tpu.nn.res16unet import Res16UNetBase
+        from pointcontrast_tpu.nn.resnet_block import BasicBlock
+
+        class TinyUNet(Res16UNetBase):
+            BLOCK = BasicBlock
+            LAYERS = (1, 1, 1, 1, 1, 1, 1, 1)
+            PLANES = (4, 8, 16, 32, 32, 16, 8, 8)
+            INIT_DIM = 4
+
+        ds = SyntheticSemsegDataset(
+            num_scenes=4, points=1500, augment_data=True, seed=0,
+            prevoxel_transform=t.Compose(
+                [t.ElasticDistortion(SyntheticSemsegDataset.ELASTIC_DISTORT_PARAMS)]
+            ),
+            input_transform=t.Compose([
+                t.RandomDropout(0.2),
+                t.RandomHorizontalFlip("z"),
+                t.ChromaticAutoContrast(),
+                t.ChromaticTranslation(0.1),
+                t.ChromaticJitter(0.05),
+            ]),
+        )
+        val_ds = SyntheticSemsegDataset(num_scenes=2, points=1500, seed=1)
+        scheme = PadScheme(npad0=4096)
+        train_loader = SemsegLoader(
+            ds, batch_size=1, scheme=scheme, augment_shift=True,
+            num_workers=1, seed=0,
+        )
+        val_loader = SemsegLoader(
+            val_ds, batch_size=1, scheme=scheme, shuffle=False,
+            num_workers=1, seed=0,
+        )
+        model = TinyUNet(in_channels=3, out_channels=ds.num_classes)
+        cfg = SemsegConfig(
+            lr=0.3, max_iter=8, stat_freq=2, val_freq=8, save_freq=100,
+            checkpoint_dir=str(tmp_path),
+        )
+        trainer = SemsegTrainer(
+            model, train_loader, val_loader, cfg, num_classes=ds.num_classes
+        )
+        history = trainer.train(8, val_batches=2)
+        train_loader.close()
+        val_loader.close()
+        losses = [m["loss"] for _, m in history]
+        assert all(np.isfinite(l) for l in losses)
+        assert losses[-1] < losses[0]
+        assert trainer.best_miou > 0  # validation ran and produced a score
