@@ -24,13 +24,17 @@ REFERENCE_PAIRS_PER_SEC_PER_GPU_EST = 6.0
 
 BATCH_PAIRS = 4
 POINTS_PER_FRAME = 20000
-NPAD0 = 65536
+NPAD0 = 131072  # both frames fused into one sparse batch (8 frames)
 WARMUP = 3
 ITERS = 20
 
 
 def main():
     import jax
+
+    from pointcontrast_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     from pointcontrast_tpu.data import PadScheme, SyntheticPairDataset, collate_pair
     from pointcontrast_tpu.nn.registry import load_model
@@ -41,12 +45,12 @@ def main():
     ds = SyntheticPairDataset(
         num_pairs=BATCH_PAIRS * 2, points_per_frame=POINTS_PER_FRAME, seed=0
     )
-    scheme = PadScheme(npad0=NPAD0)
+    scheme = PadScheme.scannet(npad0=NPAD0)
     rng = np.random.RandomState(0)
     batches = [
         collate_pair(
             [ds[(b * BATCH_PAIRS + i) % len(ds)] for i in range(BATCH_PAIRS)],
-            scheme, mode="nce", npos=4096, rng=rng,
+            scheme, mode="nce", npos=4096, rng=rng, fuse_frames=True,
         )
         for b in range(2)
     ]
@@ -67,12 +71,15 @@ def main():
     batches = [jax.device_put(b) for b in batches]
     for i in range(WARMUP):
         state, metrics = step(state, batches[i % len(batches)])
-    jax.block_until_ready(metrics["loss"])
+    float(jax.device_get(metrics["loss"]))  # hard sync (block_until_ready is
+    # unreliable on the experimental axon platform — it can return before
+    # execution finishes; a device_get cannot)
 
     t0 = time.perf_counter()
     for i in range(ITERS):
         state, metrics = step(state, batches[i % len(batches)])
-    jax.block_until_ready(metrics["loss"])
+    float(jax.device_get(metrics["loss"]))  # steps chain through state, so
+    # materializing the last loss bounds all ITERS executions
     dt = time.perf_counter() - t0
 
     pairs_per_sec = BATCH_PAIRS * ITERS / dt

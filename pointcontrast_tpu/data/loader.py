@@ -38,6 +38,7 @@ class PairLoader:
         seed: int = 0,
         num_shards: int = 1,
         shard_id: int = 0,
+        fuse_frames: bool = False,
     ):
         """num_device_batches > 1 stacks that many independent per-device
         batches along a leading axis (the data-parallel mesh axis)."""
@@ -49,6 +50,7 @@ class PairLoader:
         self.num_pos = num_pos
         self.num_hn = num_hn
         self.num_device_batches = num_device_batches
+        self.fuse_frames = fuse_frames
         self.sampler = DistributedInfSampler(
             len(dataset), num_shards, shard_id, shuffle, seed
         )
@@ -70,6 +72,7 @@ class PairLoader:
             num_pos=self.num_pos,
             num_hn=self.num_hn,
             rng=self.rng,
+            fuse_frames=self.fuse_frames,
         )
 
     def _produce(self):

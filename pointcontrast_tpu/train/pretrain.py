@@ -73,11 +73,16 @@ def make_train_step(config: PretrainConfig):
                 v0, batch.feats0, batch.pyramid0, train=True,
                 mutable=["batch_stats"],
             )
-            v1 = {"params": params, "batch_stats": mut0["batch_stats"]}
-            f1, mut1 = state.apply_fn(
-                v1, batch.feats1, batch.pyramid1, train=True,
-                mutable=["batch_stats"],
-            )
+            if batch.feats1 is None:
+                # fused-frame batch: one forward over all 2B frames; the
+                # sampled indices already point into the combined table.
+                f1, mut1 = f0, mut0
+            else:
+                v1 = {"params": params, "batch_stats": mut0["batch_stats"]}
+                f1, mut1 = state.apply_fn(
+                    v1, batch.feats1, batch.pyramid1, train=True,
+                    mutable=["batch_stats"],
+                )
             if config.mode == "nce":
                 loss = point_info_nce_loss(
                     f0, f1, batch.q_idx, batch.k_idx, batch.pair_valid,
