@@ -1,0 +1,113 @@
+"""ctypes loader for the native kernel-map builder.
+
+Compiles ``native/kernel_maps.cpp`` on first use (g++ -O3, ~1 s) into a
+cache directory and exposes typed wrappers.  Everything degrades to the
+numpy implementation in ``topology.py`` when a compiler is unavailable or
+``PC_TPU_NO_NATIVE=1`` is set.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_LOCK = threading.Lock()
+_LIB = None
+_TRIED = False
+
+_SRC = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+    "kernel_maps.cpp",
+)
+
+
+def _build() -> str | None:
+    cache = os.environ.get(
+        "PC_TPU_NATIVE_DIR", os.path.expanduser("~/.cache/pointcontrast_tpu")
+    )
+    os.makedirs(cache, exist_ok=True)
+    so = os.path.join(cache, "kernel_maps.so")
+    if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(_SRC):
+        return so
+    cmd = [
+        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+        _SRC, "-o", so + ".tmp",
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(so + ".tmp", so)
+        return so
+    except (subprocess.SubprocessError, OSError):
+        return None
+
+
+def get_lib():
+    """The loaded library or None (fallback to numpy)."""
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    with _LOCK:
+        if _TRIED:
+            return _LIB
+        _TRIED = True
+        if os.environ.get("PC_TPU_NO_NATIVE") == "1" or not os.path.exists(_SRC):
+            return None
+        so = _build()
+        if so is None:
+            return None
+        lib = ctypes.CDLL(so)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.pc_encode_keys.argtypes = [i32p, ctypes.c_int64, i64p, i64p, i64p]
+        lib.pc_same_level_map.argtypes = [
+            i64p, ctypes.c_int64, i64p, ctypes.c_int64, ctypes.c_int64, i32p
+        ]
+        lib.pc_downsample.argtypes = [
+            i32p, ctypes.c_int64, i64p, i64p, i32p, i32p
+        ]
+        lib.pc_downsample.restype = ctypes.c_int64
+        _LIB = lib
+    return _LIB
+
+
+def _ptr(a: np.ndarray, ctype):
+    return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def same_level_map(keys: np.ndarray, off_keys: np.ndarray, npad: int) -> np.ndarray:
+    """Native variant of topology._same_level_map's core (keys already
+    encoded; returns nbr [K, npad] int32)."""
+    lib = get_lib()
+    assert lib is not None
+    n, k = len(keys), len(off_keys)
+    keys = np.ascontiguousarray(keys, dtype=np.int64)
+    off_keys = np.ascontiguousarray(off_keys, dtype=np.int64)
+    nbr = np.empty((k, npad), dtype=np.int32)
+    lib.pc_same_level_map(
+        _ptr(keys, ctypes.c_int64), n, _ptr(off_keys, ctypes.c_int64), k,
+        npad, _ptr(nbr, ctypes.c_int32),
+    )
+    return nbr
+
+
+def downsample(coords: np.ndarray, lo: np.ndarray, stride: np.ndarray):
+    """Native variant of topology._downsample (without child offsets).
+    Returns (coarse [nc, 4], parent [n])."""
+    lib = get_lib()
+    assert lib is not None
+    coords = np.ascontiguousarray(coords, dtype=np.int32)
+    n = len(coords)
+    parent = np.empty(n, dtype=np.int32)
+    coarse = np.empty((n, 4), dtype=np.int32)
+    lo = np.ascontiguousarray(lo, dtype=np.int64)
+    stride = np.ascontiguousarray(stride, dtype=np.int64)
+    nc = lib.pc_downsample(
+        _ptr(coords, ctypes.c_int32), n, _ptr(lo, ctypes.c_int64),
+        _ptr(stride, ctypes.c_int64), _ptr(parent, ctypes.c_int32),
+        _ptr(coarse, ctypes.c_int32),
+    )
+    return coarse[:nc].copy(), parent

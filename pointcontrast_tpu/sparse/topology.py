@@ -97,10 +97,15 @@ def _same_level_map(
     max_off = int(np.abs(offsets).max()) if len(offsets) else 0
     spec = HashSpec.from_coords(coords, margin=max_off + 1)
     keys = spec.encode(coords)  # [N]
+    off_keys = offsets.astype(np.int64) @ spec.stride[1:]  # [K]
+
+    from pointcontrast_tpu.sparse import native
+
+    if native.get_lib() is not None:
+        return native.same_level_map(keys, off_keys, npad)
+
     order = np.argsort(keys)
     skeys = keys[order]
-
-    off_keys = offsets.astype(np.int64) @ spec.stride[1:]  # [K]
     qkeys = keys[None, :] + off_keys[:, None]  # [K, N]
     pos = np.searchsorted(skeys, qkeys.ravel()).reshape(qkeys.shape)
     pos_c = np.minimum(pos, n - 1)

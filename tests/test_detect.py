@@ -164,9 +164,9 @@ class TestVoteNetEndToEnd:
                 return item
 
         one = Loop(batches[:1])
-        epochs = [trainer.train_epoch(one, 5) for _ in range(8)]
-        assert all(np.isfinite(e) for e in epochs)
-        assert np.mean(epochs[-2:]) < epochs[0]
+        losses = [trainer.train_epoch(one, 1) for _ in range(90)]
+        assert all(np.isfinite(l) for l in losses)
+        assert np.mean(losses[-10:]) < np.mean(losses[:10]) * 0.95
 
     def test_evaluate_produces_map(self, setup):
         trainer, batches = setup
