@@ -1,0 +1,116 @@
+"""Convert reference PyTorch/MinkowskiEngine checkpoints to our params.
+
+The released PointContrast checkpoints (hardest-contrastive.pth / nce.pth,
+README.md:76-78) store a torch ``state_dict`` of the ME Res16UNet (names
+like ``conv0p1s1.kernel``, ``bn0.bn.weight``, ``block1.0.conv1.kernel``,
+``block1.0.downsample.0.kernel``; see
+/root/reference/pretrain/pointcontrast/model/res16unet.py:17-120 and
+modules/resnet_block.py:13-60).  ME convolution kernels are already
+``[K, Cin, Cout]`` (``[Cin, Cout]`` for 1x1), the same layout as ours, and
+both enumerate hypercube offsets x-fastest, so conversion is pure renaming:
+
+  conv0p1s1.kernel                      -> params/conv0p1s1/kernel
+  bn0.bn.{weight,bias}                  -> params/bn0/{scale,bias}
+  bn0.bn.running_{mean,var}             -> batch_stats/bn0/{mean,var}
+  blockS.I.convJ.kernel                 -> params/blockS_I/SparseConv_{J-1}/kernel
+  blockS.I.normJ.bn.*                   -> params|batch_stats/blockS_I/MaskedBatchNorm_{J-1}/*
+  blockS.I.downsample.0.kernel [1,i,o]  -> params/blockS_I/downsample_conv/kernel [i,o]
+  blockS.I.downsample.1.bn.*            -> blockS_I/downsample_norm/*
+  convtrDpSs2.kernel                    -> params/convtrDpSs2/kernel
+  final.kernel [i,o], final.bias        -> params/final/{kernel,bias}
+
+Use ``load_torch_state_dict`` on a ``.pth`` file (torch CPU load) or
+``convert_state_dict`` on an already-loaded {name: ndarray} mapping.
+"""
+from __future__ import annotations
+
+import re
+from typing import Mapping
+
+import numpy as np
+
+
+def load_torch_state_dict(path: str) -> dict:
+    import torch
+
+    state = torch.load(path, map_location="cpu", weights_only=False)
+    sd = state.get("state_dict", state)
+    out = {}
+    for k, v in sd.items():
+        k = re.sub(r"^(module\.|encoder\.)", "", k)
+        out[k] = np.asarray(v.detach().cpu().numpy())
+    return out
+
+
+def _set(tree: dict, path: list[str], value: np.ndarray):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def convert_state_dict(sd: Mapping[str, np.ndarray]):
+    """-> (params, batch_stats) nested dicts for Res16UNet-family models."""
+    params: dict = {}
+    stats: dict = {}
+    unmatched = []
+
+    def block_path(stage: str, idx: str, rest: list[str]):
+        mod = f"{stage}_{idx}"
+        head = rest[0]
+        if head in ("conv1", "conv2", "conv3"):
+            return [mod, f"SparseConv_{int(head[-1]) - 1}", "kernel"], "params"
+        if head in ("norm1", "norm2", "norm3"):
+            sub = f"MaskedBatchNorm_{int(head[-1]) - 1}"
+            return [mod, sub], "bn"
+        if head == "downsample":
+            if rest[1] == "0":
+                return [mod, "downsample_conv", "kernel"], "params"
+            return [mod, "downsample_norm"], "bn"
+        return None, None
+
+    for name, value in sd.items():
+        parts = name.split(".")
+        m = re.match(r"^block(\d+)$", parts[0])
+        dest = None
+        kind = None
+        if m:
+            dest, kind = block_path(parts[0], parts[1], parts[2:])
+            bn_field = parts[-1]
+        elif re.match(r"^(conv|convtr)\w*$", parts[0]) and parts[-1] == "kernel":
+            dest, kind = [parts[0], "kernel"], "params"
+        elif parts[0].startswith("bn"):
+            dest, kind = [parts[0]], "bn"
+            bn_field = parts[-1]
+        elif parts[0] == "final":
+            dest, kind = ["final", parts[-1]], "params"
+
+        if dest is None:
+            unmatched.append(name)
+            continue
+
+        if kind == "params":
+            v = value
+            # ME stores 1x1 convs as [Cin, Cout] and K-volume convs as
+            # [K, Cin, Cout]; downsample shortcut may come as [1, i, o].
+            if dest[-2:] == ["downsample_conv", "kernel"] and v.ndim == 3:
+                v = v[0]
+            _set(params, dest, np.asarray(v))
+        else:  # bn
+            field = {
+                "weight": ("params", "scale"),
+                "bias": ("params", "bias"),
+                "running_mean": ("stats", "mean"),
+                "running_var": ("stats", "var"),
+            }.get(bn_field)
+            if field is None:  # num_batches_tracked etc.
+                continue
+            tree = params if field[0] == "params" else stats
+            _set(tree, dest + [field[1]], np.asarray(value))
+
+    return params, stats, unmatched
+
+
+def convert_checkpoint(pth_path: str):
+    """.pth -> (params, batch_stats, unmatched names)."""
+    return convert_state_dict(load_torch_state_dict(pth_path))

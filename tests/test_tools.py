@@ -1,0 +1,200 @@
+"""Tools tests: PLY IO, .sens pipeline pieces, torch checkpoint conversion."""
+import io
+import os
+import struct
+import zlib
+
+import numpy as np
+import pytest
+import jax
+
+from pointcontrast_tpu.utils.ply import read_ply_xyzrgbl, save_ply
+
+
+class TestPly:
+    def test_roundtrip_binary(self, tmp_path):
+        rng = np.random.RandomState(0)
+        coords = rng.randn(50, 3).astype(np.float32)
+        colors = rng.randint(0, 256, (50, 3))
+        labels = rng.randint(0, 20, 50)
+        p = str(tmp_path / "x.ply")
+        save_ply(p, coords, colors, labels)
+        c, f, l = read_ply_xyzrgbl(p)
+        np.testing.assert_allclose(c, coords, atol=1e-6)
+        np.testing.assert_array_equal(f, colors)
+        np.testing.assert_array_equal(l, labels)
+
+    def test_roundtrip_ascii(self, tmp_path):
+        coords = np.array([[0.5, 1.5, -2.0], [3.0, 0.0, 1.0]], np.float32)
+        p = str(tmp_path / "a.ply")
+        save_ply(p, coords, binary=False)
+        c, _, _ = read_ply_xyzrgbl(p)
+        np.testing.assert_allclose(c, coords, atol=1e-6)
+
+
+class TestSensorData:
+    def _fake_sens(self, path, num_frames=3, dh=8, dw=10):
+        with open(path, "wb") as f:
+            f.write(struct.pack("I", 4))
+            name = b"testsensor"
+            f.write(struct.pack("Q", len(name)))
+            f.write(name)
+            for _ in range(4):
+                f.write(np.eye(4, dtype=np.float32).tobytes())
+            f.write(struct.pack("i", 2))  # jpeg
+            f.write(struct.pack("i", 1))  # zlib_ushort
+            f.write(struct.pack("IIII", 32, 24, dw, dh))
+            f.write(struct.pack("f", 1000.0))
+            f.write(struct.pack("Q", num_frames))
+            rng = np.random.RandomState(0)
+            for i in range(num_frames):
+                pose = np.eye(4, dtype=np.float32)
+                pose[:3, 3] = [i, 0, 0]
+                f.write(pose.tobytes())
+                f.write(struct.pack("QQ", i, i))
+                color = b"jpegdata"
+                depth = zlib.compress(
+                    (rng.randint(500, 2000, (dh, dw)).astype(np.uint16)).tobytes()
+                )
+                f.write(struct.pack("QQ", len(color), len(depth)))
+                f.write(color)
+                f.write(depth)
+
+    def test_parse_and_export(self, tmp_path):
+        from pointcontrast_tpu.tools.sensor_data import SensorData
+
+        p = str(tmp_path / "scene.sens")
+        self._fake_sens(p)
+        sd = SensorData(p)
+        assert len(sd.frames) == 3
+        assert sd.depth_shift == 1000.0
+        out = str(tmp_path / "out")
+        sd.export_depth_arrays(os.path.join(out, "depth"), frame_skip=1)
+        sd.export_poses(os.path.join(out, "pose"))
+        sd.export_intrinsics(os.path.join(out, "intrinsic"))
+        d = np.load(os.path.join(out, "depth", "0.npy"))
+        assert d.shape == (8, 10) and d.dtype == np.uint16
+        pose1 = np.loadtxt(os.path.join(out, "pose", "1.txt"))
+        assert pose1[0, 3] == 1.0
+
+
+class TestPairPipeline:
+    def test_unproject_identity(self):
+        from pointcontrast_tpu.tools.pair_pipeline import unproject_depth
+
+        depth = np.zeros((4, 4), np.uint16)
+        depth[2, 3] = 2000  # 2m at pixel (u=3, v=2)
+        intr = np.eye(4)
+        intr[0, 0] = intr[1, 1] = 100.0
+        intr[0, 2] = intr[1, 2] = 2.0
+        pts = unproject_depth(depth, intr, np.eye(4))
+        assert pts.shape == (1, 3)
+        np.testing.assert_allclose(pts[0], [(3 - 2) * 2 / 100, 0.0, 2.0])
+
+    def test_overlap_and_pairs(self, tmp_path):
+        from pointcontrast_tpu.tools.pair_pipeline import (
+            compute_scene_overlaps,
+            generate_pair_list,
+        )
+
+        rng = np.random.RandomState(0)
+        scene = tmp_path / "scene0"
+        pcd_dir = scene / "pcd"
+        pcd_dir.mkdir(parents=True)
+        base = rng.rand(2000, 3)
+        np.savez(pcd_dir / "0.npz", pcd=base)
+        np.savez(pcd_dir / "1.npz", pcd=base + 0.001)  # near-identical
+        np.savez(pcd_dir / "2.npz", pcd=base + 100.0)  # disjoint
+        out = compute_scene_overlaps(str(scene), voxel_size=0.05)
+        lines = open(out).read().strip().splitlines()
+        assert len(lines) == 3
+        vals = {tuple(l.split()[:2]): float(l.split()[2]) for l in lines}
+        keys = sorted(vals)
+        assert vals[keys[0]] > 0.9  # 0 vs 1
+        pair_file = str(tmp_path / "pairs.txt")
+        n = generate_pair_list(str(tmp_path), pair_file, threshold=0.3)
+        assert n == 1
+
+
+class TestTorchConverter:
+    def test_full_res16unet_mapping(self):
+        """Every leaf of our Res16UNet34C must be fed by a synthetic torch
+        state dict in the reference's naming scheme."""
+        from pointcontrast_tpu.data import PadScheme, SyntheticPairDataset, collate_pair
+        from pointcontrast_tpu.nn.registry import load_model
+        from pointcontrast_tpu.tools.convert_torch import convert_state_dict
+        from pointcontrast_tpu.train.checkpoint import lenient_filter
+
+        model = load_model("Res16UNet34C")(in_channels=3, out_channels=32)
+        ds = SyntheticPairDataset(num_pairs=1, points_per_frame=400, seed=0)
+        batch = collate_pair(
+            [ds[0]], PadScheme(npad0=1024), mode="nce", npos=32,
+            rng=np.random.RandomState(0),
+        )
+        variables = jax.jit(
+            lambda r, f, p: model.init(r, f, p, train=False)
+        )(jax.random.PRNGKey(0), batch.feats0, batch.pyramid0)
+        params = jax.device_get(variables["params"])
+        stats = jax.device_get(variables["batch_stats"])
+
+        # Build a torch-style state dict whose shapes mirror our tree.
+        sd = {}
+        rng = np.random.RandomState(1)
+        flat = jax.tree_util.tree_flatten_with_path(params)[0]
+        import re
+
+        for kp, leaf in flat:
+            keys = [str(getattr(k, "key", k)) for k in kp]
+            name = None
+            if keys[0].startswith(("conv", "convtr")) and keys[-1] == "kernel":
+                name = f"{keys[0]}.kernel"
+            elif keys[0].startswith("bn"):
+                name = f"{keys[0]}.bn." + ("weight" if keys[1] == "scale" else "bias")
+            elif keys[0] == "final":
+                name = f"final.{keys[1]}"
+            elif re.match(r"block\d+_\d+", keys[0]):
+                stage, idx = keys[0].rsplit("_", 1)
+                sub = keys[1]
+                if sub.startswith("SparseConv_"):
+                    j = int(sub.split("_")[1]) + 1
+                    name = f"{stage}.{idx}.conv{j}.kernel"
+                elif sub.startswith("MaskedBatchNorm_"):
+                    j = int(sub.split("_")[1]) + 1
+                    f = "weight" if keys[2] == "scale" else "bias"
+                    name = f"{stage}.{idx}.norm{j}.bn.{f}"
+                elif sub == "downsample_conv":
+                    name = f"{stage}.{idx}.downsample.0.kernel"
+                elif sub == "downsample_norm":
+                    f = "weight" if keys[2] == "scale" else "bias"
+                    name = f"{stage}.{idx}.downsample.1.bn.{f}"
+            assert name is not None, keys
+            sd[name] = rng.randn(*leaf.shape).astype(np.float32)
+
+        for kp, leaf in jax.tree_util.tree_flatten_with_path(stats)[0]:
+            keys = [str(getattr(k, "key", k)) for k in kp]
+            field = "running_mean" if keys[-1] == "mean" else "running_var"
+            if keys[0].startswith("bn"):
+                name = f"{keys[0]}.bn.{field}"
+            else:
+                stage, idx = keys[0].rsplit("_", 1)
+                sub = keys[1]
+                if sub.startswith("MaskedBatchNorm_"):
+                    j = int(sub.split("_")[1]) + 1
+                    name = f"{stage}.{idx}.norm{j}.bn.{field}"
+                else:
+                    name = f"{stage}.{idx}.downsample.1.bn.{field}"
+            sd[name] = rng.randn(*leaf.shape).astype(np.float32)
+
+        cparams, cstats, unmatched = convert_state_dict(sd)
+        assert not unmatched, unmatched[:5]
+        merged, loaded, skipped = lenient_filter(params, cparams)
+        assert not skipped, skipped[:5]
+        merged_s, loaded_s, skipped_s = lenient_filter(stats, cstats)
+        assert not skipped_s, skipped_s[:5]
+        # values actually transferred
+        got = jax.tree_util.tree_flatten_with_path(merged)[0]
+        name0 = "conv0p1s1.kernel"
+        for kp, leaf in got:
+            keys = [str(getattr(k, "key", k)) for k in kp]
+            if keys == ["conv0p1s1", "kernel"]:
+                np.testing.assert_allclose(leaf, sd[name0])
