@@ -164,6 +164,71 @@ def compute_box_and_sem_cls_loss(end_points, config):
             size_class_loss, size_reg_loss, sem_cls_loss)
 
 
+def compute_objectness_loss_boxnet(end_points):
+    """BoxNet variant (loss_helper_boxnet.py:20-60): objectness label is the
+    seed point's GT vote mask (no near/far gray zone — mask is all ones);
+    assignment still via nearest GT center."""
+    aggregated_vote_xyz = end_points["aggregated_vote_xyz"]
+    gt_center = end_points["center_label"][:, :, 0:3]
+    _d1, ind1, _d2, _i2 = nn_distance(aggregated_vote_xyz, gt_center)
+
+    seed_inds = end_points["seed_inds"]
+    seed_labels = jnp.take_along_axis(
+        end_points["vote_label_mask"], seed_inds, axis=1
+    )
+    end_points["seed_labels"] = seed_labels
+    objectness_label = jnp.take_along_axis(
+        seed_labels, end_points["aggregated_vote_inds"], axis=1
+    ).astype(jnp.int32)
+    objectness_mask = jnp.ones(objectness_label.shape, jnp.float32)
+
+    scores = end_points["objectness_scores"]
+    w = jnp.asarray(OBJECTNESS_CLS_WEIGHTS)
+    ce = _ce(scores, objectness_label) * jnp.take(w, objectness_label)
+    objectness_loss = _masked_sum_mean(ce, objectness_mask)
+    return objectness_loss, objectness_label, objectness_mask, ind1
+
+
+def get_loss_boxnet(end_points, config):
+    """BoxNet total (loss_helper_boxnet.py:62-122): no vote loss,
+    loss = (0.5*objectness + box + 0.1*sem_cls) * 10."""
+    objectness_loss, objectness_label, objectness_mask, assignment = (
+        compute_objectness_loss_boxnet(end_points)
+    )
+    end_points["objectness_loss"] = objectness_loss
+    end_points["objectness_label"] = objectness_label
+    end_points["objectness_mask"] = objectness_mask
+    end_points["object_assignment"] = assignment
+    total = objectness_label.shape[0] * objectness_label.shape[1]
+    end_points["pos_ratio"] = jnp.sum(objectness_label.astype(jnp.float32)) / total
+    end_points["neg_ratio"] = (
+        jnp.sum(objectness_mask) / total - end_points["pos_ratio"]
+    )
+    (center_loss, heading_cls_loss, heading_reg_loss, size_cls_loss,
+     size_reg_loss, sem_cls_loss) = compute_box_and_sem_cls_loss(
+        end_points, config
+    )
+    end_points["center_loss"] = center_loss
+    end_points["heading_cls_loss"] = heading_cls_loss
+    end_points["heading_reg_loss"] = heading_reg_loss
+    end_points["size_cls_loss"] = size_cls_loss
+    end_points["size_reg_loss"] = size_reg_loss
+    end_points["sem_cls_loss"] = sem_cls_loss
+    box_loss = (
+        center_loss + 0.1 * heading_cls_loss + heading_reg_loss
+        + 0.1 * size_cls_loss + size_reg_loss
+    )
+    end_points["box_loss"] = box_loss
+    loss = (0.5 * objectness_loss + box_loss + 0.1 * sem_cls_loss) * 10.0
+    end_points["loss"] = loss
+    end_points["vote_loss"] = jnp.zeros(())
+    obj_pred = jnp.argmax(end_points["objectness_scores"], axis=2)
+    end_points["obj_acc"] = _masked_sum_mean(
+        (obj_pred == objectness_label).astype(jnp.float32), objectness_mask
+    )
+    return loss, end_points
+
+
 def get_loss(end_points, config):
     """loss_helper.py:184-247. Returns (loss, end_points-with-metrics)."""
     vote_loss = compute_vote_loss(end_points)

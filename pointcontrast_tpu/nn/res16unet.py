@@ -47,8 +47,8 @@ class Res16UNetBase(nn.Module):
     LAYERS = (2, 2, 2, 2, 2, 2, 2, 2)
     INIT_DIM = 32
 
-    def _stage(self, x, nbr, valid, planes, blocks, train, name):
-        kv = nbr.shape[0]
+    def _stage(self, x, lv, planes, blocks, train, name, num_batch=1):
+        kv = lv.nbr.shape[0]
         for i in range(blocks):
             x = self.BLOCK(
                 planes=planes,
@@ -56,7 +56,7 @@ class Res16UNetBase(nn.Module):
                 bn_momentum=self.bn_momentum,
                 dtype=self.dtype,
                 name=f"{name}_{i}",
-            )(x, nbr, valid, train)
+            )(x, lv.nbr, lv.valid, train, batch=lv.batch, num_batch=num_batch)
         return x
 
     @nn.compact
@@ -66,7 +66,8 @@ class Res16UNetBase(nn.Module):
         dtype = self.dtype or features.dtype
         lv = pyramid.levels
         assert len(lv) >= NUM_LEVELS, "Res16UNet needs a 5-level pyramid"
-        k_up = 2 ** self.dimension
+        k_up = lv[0].down_nbr.shape[0]  # 2^(num strided axes)
+        nb = pyramid.num_batch
         bnm = self.bn_momentum
 
         def bn(name):
@@ -88,8 +89,8 @@ class Res16UNetBase(nn.Module):
             )(out, lv[s].down_nbr, lv[s + 1].valid)
             out = relu(bn(f"bn{s + 1}")(out, lv[s + 1].valid, train))
             out = self._stage(
-                out, lv[s + 1].nbr, lv[s + 1].valid, self.PLANES[s],
-                self.LAYERS[s], train, f"block{s + 1}",
+                out, lv[s + 1], self.PLANES[s], self.LAYERS[s], train,
+                f"block{s + 1}", nb,
             )
             if s < 3:
                 skips.append(out)
@@ -104,8 +105,8 @@ class Res16UNetBase(nn.Module):
             out = relu(bn(f"bntr{4 + d}")(out, lv[lvl].valid, train))
             out = jnp.concatenate([out, skips[lvl]], axis=1)
             out = self._stage(
-                out, lv[lvl].nbr, lv[lvl].valid, self.PLANES[4 + d],
-                self.LAYERS[4 + d], train, f"block{5 + d}",
+                out, lv[lvl], self.PLANES[4 + d], self.LAYERS[4 + d], train,
+                f"block{5 + d}", nb,
             )
 
         out = SparseLinear(self.out_channels, use_bias=True, dtype=dtype, name="final")(
@@ -195,3 +196,48 @@ class Res16UNet34B(Res16UNet34):
 
 class Res16UNet34C(Res16UNet34):
     PLANES = (32, 64, 128, 256, 256, 128, 96, 96)
+
+
+# --- 4D spatio-temporal variants (semseg models/res16unet.py:340-380):
+#     dimension=4; pyramids built with region='hybrid' (cube space x cross
+#     time) and stride_axes=(1,1,1,0). ---
+
+
+class STRes16UNetBase(Res16UNetBase):
+    dimension: int = 4
+
+
+class STRes16UNet14(STRes16UNetBase, Res16UNet14):
+    pass
+
+
+class STRes16UNet14A(STRes16UNetBase, Res16UNet14A):
+    pass
+
+
+class STRes16UNet18(STRes16UNetBase, Res16UNet18):
+    pass
+
+
+class STRes16UNet34(STRes16UNetBase, Res16UNet34):
+    pass
+
+
+class STRes16UNet50(STRes16UNetBase, Res16UNet50):
+    pass
+
+
+class STRes16UNet101(STRes16UNetBase, Res16UNet101):
+    pass
+
+
+class STRes16UNet18A(STRes16UNet18):
+    PLANES = (32, 64, 128, 256, 128, 128, 96, 96)
+
+
+class STResTesseract16UNetBase(STRes16UNetBase):
+    """Full 4D hypercube kernels (pyramid built with region='hypercube')."""
+
+
+class STResTesseract16UNet18A(STRes16UNet18A, STResTesseract16UNetBase):
+    pass

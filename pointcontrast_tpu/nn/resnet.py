@@ -158,3 +158,56 @@ class ResNet50(ResNetBase):
 class ResNet101(ResNetBase):
     BLOCK = Bottleneck
     LAYERS = (3, 4, 23, 3)
+
+
+# --- 4D spatio-temporal variants (semseg models/resnet.py:172-220):
+#     pyramids built with dimension=4, region='hybrid' (or 'hypercube' for
+#     the Tesseract variants) and stride_axes=(1,1,1,0). ---
+
+
+class STResNetBase(ResNetBase):
+    dimension: int = 4
+
+
+class STResNet14(STResNetBase, ResNet14):
+    pass
+
+
+class STResNet18(STResNetBase, ResNet18):
+    pass
+
+
+class STResNet34(STResNetBase, ResNet34):
+    pass
+
+
+class STResNet50(STResNetBase, ResNet50):
+    pass
+
+
+class STResNet101(STResNetBase, ResNet101):
+    pass
+
+
+class STResTesseractNetBase(STResNetBase):
+    """Full 4D hypercube kernels."""
+
+
+class STResTesseractNet14(STResTesseractNetBase, STResNet14):
+    pass
+
+
+class STResTesseractNet18(STResTesseractNetBase, STResNet18):
+    pass
+
+
+class STResTesseractNet34(STResTesseractNetBase, STResNet34):
+    pass
+
+
+class STResTesseractNet50(STResTesseractNetBase, STResNet50):
+    pass
+
+
+class STResTesseractNet101(STResTesseractNetBase, STResNet101):
+    pass

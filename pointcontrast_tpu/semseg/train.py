@@ -183,12 +183,15 @@ class SemsegTrainer:
             log.info("resumed from %s", ckpt)
 
     def train(self, num_iters: int | None = None, val_batches: int = 10):
+        from pointcontrast_tpu.utils.metrics import MetricsLogger
+
         cfg = self.config
         target = min(cfg.max_iter, int(self.state.step) + (num_iters or cfg.max_iter))
         data_meter, step_timer = AverageMeter(), Timer()
         batch = self._first_batch
         self._first_batch = None
         history = []
+        writer = MetricsLogger(cfg.checkpoint_dir)
         while int(self.state.step) < target:
             t0 = time.perf_counter()
             if batch is None:
@@ -202,6 +205,7 @@ class SemsegTrainer:
             if curr % cfg.stat_freq == 0 or curr == target:
                 m = {k: float(v) for k, v in jax.device_get(metrics).items()}
                 history.append((curr, m))
+                writer.add_scalars(m, curr, prefix="train/")
                 log.info(
                     "iter %d loss %.4f acc %.3f (data %.3fs step %.3fs)",
                     curr, m["loss"], m["acc"], data_meter.avg, step_timer.avg,
@@ -214,9 +218,12 @@ class SemsegTrainer:
                     cfg.ignore_label, self._eval_step,
                 )
                 log.info("val iter %d mIoU %.2f acc %.2f", curr, miou, acc)
+                writer.add_scalar("val/miou", miou, curr)
+                writer.add_scalar("val/acc", acc, curr)
                 if miou > self.best_miou:
                     self.best_miou = miou
                     save_checkpoint(cfg.checkpoint_dir, curr, self.state)
             elif curr % cfg.save_freq == 0 or curr == target:
                 save_checkpoint(cfg.checkpoint_dir, curr, self.state)
+        writer.close()
         return history

@@ -116,10 +116,18 @@ def _same_level_map(
     return out
 
 
-def _downsample(coords: np.ndarray):
-    """Unique floor(c/2) coarse coords + per-fine parent index & offset id."""
+def _downsample(coords: np.ndarray, stride_axes: np.ndarray | None = None):
+    """Unique floor(c/2) coarse coords + per-fine parent index & offset id.
+
+    stride_axes: bool mask over spatial axes; False axes are not halved
+    (spatio-temporal nets stride (2,2,2,1), reference resunet.py
+    space_n_time_m)."""
     coarse_of_fine = coords.copy()
-    coarse_of_fine[:, 1:] = np.floor_divide(coords[:, 1:], 2)
+    if stride_axes is None:
+        coarse_of_fine[:, 1:] = np.floor_divide(coords[:, 1:], 2)
+    else:
+        halved = np.floor_divide(coords[:, 1:], 2)
+        coarse_of_fine[:, 1:] = np.where(stride_axes[None, :], halved, coords[:, 1:])
     spec = HashSpec.from_coords(coarse_of_fine)
     keys = spec.encode(coarse_of_fine)
     sorted_keys, first_idx, inverse = np.unique(
@@ -131,7 +139,11 @@ def _downsample(coords: np.ndarray):
     slot_of_rank[perm] = np.arange(len(perm))
     coarse = coarse_of_fine[np.sort(first_idx)]
     parent = slot_of_rank[inverse].astype(np.int32)  # fine -> coarse slot
-    child_off = (coords[:, 1:] - 2 * coarse_of_fine[:, 1:]).astype(np.int32)
+    if stride_axes is None:
+        child_off = (coords[:, 1:] - 2 * coarse_of_fine[:, 1:]).astype(np.int32)
+    else:
+        scale = np.where(stride_axes, 2, 1)[None, :]
+        child_off = (coords[:, 1:] - scale * coarse_of_fine[:, 1:]).astype(np.int32)
     return coarse, parent, child_off
 
 
@@ -146,6 +158,8 @@ def build_pyramid(
     num_batch: int | None = None,
     allow_truncate: bool = True,
     build_down3: bool = False,
+    axis_types: tuple | None = None,
+    stride_axes: tuple | None = None,
 ):
     """Build the full coordinate pyramid for a sparse U-Net.
 
@@ -161,6 +175,10 @@ def build_pyramid(
       build_down3: also build kernel-3 stride-2 maps (``down_nbr3``), used by
         the ResNet family's strided residual blocks (reference
         downstream/semseg/models/resnet.py:99-130 builds stride-2 k=3 convs).
+      axis_types: for region='hybrid', per-axis 'hypercube'/'hypercross'
+        (4D spatio-temporal nets: cube over space, cross over time).
+      stride_axes: per-spatial-axis bool, False = not downsampled
+        (ST nets stride (2,2,2,1)).
 
     Returns:
       (Pyramid, PyramidMeta)
@@ -172,9 +190,16 @@ def build_pyramid(
     if num_batch is None:
         num_batch = int(coords[:, 0].max()) + 1 if len(coords) else 1
 
-    offs3 = kernel_offsets(block_kernel_size, dimension, region)
-    offs2 = kernel_offsets(2, dimension, "hypercube")
-    off2_idx = offset_index(offs2)
+    offs3 = kernel_offsets(
+        block_kernel_size, dimension, region,
+        axis_types=tuple(axis_types) if axis_types else None,
+    )
+    sa = np.asarray(
+        stride_axes if stride_axes is not None else [True] * dimension, bool
+    )
+    down_ks = tuple(2 if v else 1 for v in sa)
+    offs2 = kernel_offsets(down_ks, dimension, "hypercube")
+    stride_vec = None if sa.all() else sa
 
     levels = []
     meta_coords, meta_counts, meta_npads, truncated = [], [], [], []
@@ -192,8 +217,12 @@ def build_pyramid(
         batch[:n] = cur[:, 0]
 
         nbr0 = None
-        if lvl == 0 and conv0_kernel_size != block_kernel_size:
-            offs0 = kernel_offsets(conv0_kernel_size, dimension, region)
+        if lvl == 0 and (conv0_kernel_size != block_kernel_size or axis_types):
+            ks0 = (
+                (conv0_kernel_size,) * int(sa.sum()) + (1,) * int((~sa).sum())
+                if stride_vec is not None else conv0_kernel_size
+            )
+            offs0 = kernel_offsets(ks0, dimension, "hypercube")
             nbr0 = _same_level_map(cur, offs0, npad, dimension)
 
         level = dict(nbr=nbr, valid=valid, batch=batch, nbr0=nbr0)
@@ -202,7 +231,7 @@ def build_pyramid(
         meta_npads.append(npad)
 
         if lvl < num_levels - 1:
-            coarse, parent, child_off = _downsample(cur)
+            coarse, parent, child_off = _downsample(cur, stride_vec)
             nc = len(coarse)
             npad_next = npads[lvl + 1] if npads is not None else bucket_size(nc)
             if npad_next <= nc:
@@ -226,7 +255,7 @@ def build_pyramid(
             up_parent[:n] = parent
             up_offset = np.zeros(npad, dtype=np.int32)
             pow2 = 1 << np.arange(dimension)
-            lut = np.empty(1 << dimension, dtype=np.int32)
+            lut = np.full(1 << dimension, -1, dtype=np.int32)
             lut[offs2 @ pow2] = np.arange(len(offs2), dtype=np.int32)
             up_offset[:n] = lut[child_off @ pow2]
             # down_nbr built from the coarse (output) side: child at 2c + off.
@@ -237,7 +266,7 @@ def build_pyramid(
             order = np.argsort(fine_keys)
             skeys = fine_keys[order]
             doubled = coarse.astype(np.int64).copy()
-            doubled[:, 1:] *= 2
+            doubled[:, 1:] *= np.where(sa, 2, 1)[None, :]
             base = fine_spec.encode(doubled)  # [nc]
             off_keys = offs2.astype(np.int64) @ fine_spec.stride[1:]
             qkeys = base[None, :] + off_keys[:, None]  # [K2, nc]

@@ -166,6 +166,8 @@ class PretrainTrainer:
             log.info("resumed from %s at iter %d", ckpt, int(payload["curr_iter"]))
 
     def train(self, num_iters: int | None = None):
+        from pointcontrast_tpu.utils.metrics import MetricsLogger
+
         cfg = self.config
         target = min(
             cfg.max_iter,
@@ -175,6 +177,7 @@ class PretrainTrainer:
         batch = self._first_batch
         self._first_batch = None
         history = []
+        writer = MetricsLogger(cfg.checkpoint_dir)
         while int(self.state.step) < target:
             t0 = time.perf_counter()
             if batch is None:
@@ -187,15 +190,20 @@ class PretrainTrainer:
             if curr % cfg.stat_freq == 0 or curr == target:
                 metrics = jax.device_get(metrics)
                 step_timer.toc()
-                history.append((curr, {k: float(v) for k, v in metrics.items()}))
+                scalars = {k: float(v) for k, v in metrics.items()}
+                history.append((curr, scalars))
+                writer.add_scalars(scalars, curr, prefix="train/")
+                writer.add_scalar("train/data_time", data_meter.avg, curr)
+                writer.add_scalar("train/step_time", step_timer.avg, curr)
                 log.info(
                     "iter %d loss %.4f (data %.3fs step %.3fs)",
-                    curr, float(metrics["loss"]), data_meter.avg, step_timer.avg,
+                    curr, scalars["loss"], data_meter.avg, step_timer.avg,
                 )
             else:
                 step_timer.toc()
             if curr % cfg.save_freq == 0 or curr == target:
                 save_checkpoint(cfg.checkpoint_dir, curr, self.state)
+        writer.close()
         return history
 
 
