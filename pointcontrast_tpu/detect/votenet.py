@@ -170,3 +170,12 @@ class VoteNet(nn.Module):
             name="pnet",
         )(xyz, features, end_points, train=train)
         return end_points
+
+
+class BoxNet(VoteNet):
+    """Ablation without Hough voting (reference models/boxnet.py): proposals
+    aggregate seed features directly via seed-FPS; paired with
+    ``loss.get_loss_boxnet``."""
+
+    use_voting: bool = False
+    sampling: str = "seed_fps"

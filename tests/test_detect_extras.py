@@ -1,0 +1,152 @@
+"""Extras: BoxNet loss, SUN RGB-D loader, dump/PR utils, CRF wrapper."""
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+
+class TestBoxNetLoss:
+    def test_loss_and_labels(self):
+        from pointcontrast_tpu.detect.loss import get_loss_boxnet
+
+        rng = np.random.RandomState(0)
+        B, K, K2, N = 2, 16, 6, 200
+
+        class DC:
+            num_class = 5
+            num_heading_bin = 4
+            num_size_cluster = 5
+            mean_size_arr = np.abs(rng.randn(5, 3)) + 0.3
+
+        ep = {
+            "aggregated_vote_xyz": jnp.asarray(rng.rand(B, K, 3), jnp.float32),
+            "aggregated_vote_inds": jnp.asarray(rng.randint(0, 64, (B, K)), jnp.int32),
+            "seed_inds": jnp.asarray(rng.randint(0, N, (B, 64)), jnp.int32),
+            "seed_xyz": jnp.asarray(rng.rand(B, 64, 3), jnp.float32),
+            "vote_label_mask": jnp.asarray(rng.randint(0, 2, (B, N)), jnp.float32),
+            "objectness_scores": jnp.asarray(rng.randn(B, K, 2), jnp.float32),
+            "center": jnp.asarray(rng.rand(B, K, 3), jnp.float32),
+            "center_label": jnp.asarray(rng.rand(B, K2, 3), jnp.float32),
+            "box_label_mask": jnp.asarray(rng.randint(0, 2, (B, K2)), jnp.float32),
+            "heading_scores": jnp.asarray(rng.randn(B, K, 4), jnp.float32),
+            "heading_residuals_normalized": jnp.asarray(rng.randn(B, K, 4) * .1, jnp.float32),
+            "heading_class_label": jnp.asarray(rng.randint(0, 4, (B, K2)), jnp.int32),
+            "heading_residual_label": jnp.asarray(rng.randn(B, K2) * .1, jnp.float32),
+            "size_scores": jnp.asarray(rng.randn(B, K, 5), jnp.float32),
+            "size_residuals_normalized": jnp.asarray(rng.randn(B, K, 5, 3) * .1, jnp.float32),
+            "size_class_label": jnp.asarray(rng.randint(0, 5, (B, K2)), jnp.int32),
+            "size_residual_label": jnp.asarray(rng.randn(B, K2, 3) * .1, jnp.float32),
+            "sem_cls_scores": jnp.asarray(rng.randn(B, K, 5), jnp.float32),
+            "sem_cls_label": jnp.asarray(rng.randint(0, 5, (B, K2)), jnp.int32),
+        }
+        loss, ep = get_loss_boxnet(ep, DC)
+        assert np.isfinite(float(loss))
+        assert float(ep["vote_loss"]) == 0.0  # no voting in BoxNet
+        assert np.all(np.asarray(ep["objectness_mask"]) == 1)  # no gray zone
+
+
+class TestSunrgbdDataset:
+    def test_loader_contract(self, tmp_path):
+        from pointcontrast_tpu.detect.sunrgbd import SunrgbdDetectionVotesDataset
+
+        rng = np.random.RandomState(0)
+        n, k = 3000, 3
+        pc = rng.rand(n, 6).astype(np.float32)
+        bboxes = np.zeros((k, 8))
+        bboxes[:, 0:3] = rng.rand(k, 3) * 3
+        bboxes[:, 3:6] = 0.3 + rng.rand(k, 3) * 0.3  # half sizes
+        bboxes[:, 6] = rng.rand(k) * np.pi
+        bboxes[:, 7] = rng.randint(0, 10, k)
+        votes = np.zeros((n, 10), np.float32)
+        votes[: n // 2, 0] = 1
+        votes[: n // 2, 1:] = np.tile(rng.randn(n // 2, 3) * 0.1, (1, 3))
+        np.savez(tmp_path / "000001_pc.npz", pc=pc)
+        np.save(tmp_path / "000001_bbox.npy", bboxes)
+        np.savez(tmp_path / "000001_votes.npz", point_votes=votes)
+
+        ds = SunrgbdDetectionVotesDataset(
+            str(tmp_path), scan_names=["000001"], num_points=1024,
+            augment=True, seed=0,
+        )
+        s = ds[0]
+        assert s["point_clouds"].shape == (1024, 3)
+        assert s["vote_label"].shape == (1024, 9)
+        assert s["box_label_mask"].sum() == k
+        assert s["heading_class_label"].max() < 12
+        # angle2class roundtrip applied to stored heading
+        dc = ds.dc
+        for i in range(k):
+            back = dc.class2angle(
+                int(s["heading_class_label"][i]),
+                float(s["heading_residual_label"][i]), to_label_format=False,
+            )
+            assert np.isfinite(back)
+
+
+class TestDetectUtils:
+    def test_write_obb_and_dump(self, tmp_path):
+        from pointcontrast_tpu.detect.box_util import get_3d_box_batch
+        from pointcontrast_tpu.detect.utils import write_oriented_bbox
+
+        corners = get_3d_box_batch(
+            np.array([[1.0, 1, 1], [2, 1, 0.5]]),
+            np.array([0.0, 0.5]),
+            np.zeros((2, 3)),
+        )
+        p = str(tmp_path / "boxes.ply")
+        write_oriented_bbox(corners, p)
+        text = open(p).read()
+        assert "element vertex 16" in text and "element face 24" in text
+
+    def test_calculate_pr(self):
+        from pointcontrast_tpu.detect.box_util import get_3d_box
+        from pointcontrast_tpu.detect.utils import calculate_pr
+
+        box = get_3d_box((1, 1, 1), 0.0, (0, 0, 0))
+        far = get_3d_box((1, 1, 1), 0.0, (9, 0, 0))
+        pred = {0: [("chair", box, 0.9), ("chair", far, 0.8)]}
+        gt = {0: [("chair", box)]}
+        precision, recall = calculate_pr(pred, gt, 0.25)
+        assert precision == 0.5 and recall == 1.0
+
+
+class TestCRF:
+    def test_meanfield_refines(self):
+        from pointcontrast_tpu.semseg.crf import MeanFieldCRF, build_bilateral_map
+
+        rng = np.random.RandomState(0)
+        n, npad, c = 100, 129, 4
+        coords = np.concatenate(
+            [np.zeros((n, 1), int), rng.randint(0, 10, (n, 3))], 1
+        )
+        colors = rng.rand(n, 3) * 255
+        nbr = build_bilateral_map(coords, colors, npad)
+        valid = np.zeros(npad, np.float32)
+        valid[:n] = 1
+        unary = np.zeros((npad, c), np.float32)
+        unary[:n] = rng.randn(n, c)
+        crf = MeanFieldCRF(nchannels=c, kernel_volume=nbr.shape[0],
+                           meanfield_iterations=2)
+        v = crf.init(jax.random.PRNGKey(0), jnp.asarray(unary), nbr, valid)
+        out = crf.apply(v, jnp.asarray(unary), nbr, valid)
+        assert out.shape == (npad, c)
+        assert np.isfinite(np.asarray(out)).all()
+        assert np.all(np.asarray(out)[n:] == 0)
+
+
+class TestSparseMM:
+    def test_mapping_matmul_and_grad(self):
+        from pointcontrast_tpu.utils.sparse_mm import mapping_matrix, sparse_mm
+
+        rng = np.random.RandomState(0)
+        dense = jnp.asarray(rng.randn(10, 4), jnp.float32)
+        rows = np.array([3, 1, 7])
+        m = mapping_matrix(rows, 10)
+        out = sparse_mm(m, dense)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(dense)[rows])
+        g = jax.grad(lambda d: sparse_mm(m, d).sum())(dense)
+        want = np.zeros((10, 4))
+        want[rows] = 1
+        np.testing.assert_allclose(np.asarray(g), want)
