@@ -192,10 +192,13 @@ class SemsegTrainer:
         self._first_batch = None
         history = []
         writer = MetricsLogger(cfg.checkpoint_dir)
+        from pointcontrast_tpu.utils.prefetch import device_prefetch
+
+        feed = device_prefetch(self.train_loader)
         while int(self.state.step) < target:
             t0 = time.perf_counter()
             if batch is None:
-                batch = next(self.train_loader)
+                batch = next(feed)
             data_meter.update(time.perf_counter() - t0)
             step_timer.tic()
             self.state, metrics = self._step(self.state, batch)
