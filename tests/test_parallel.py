@@ -1,0 +1,95 @@
+"""Data-parallel correctness on the virtual CPU mesh."""
+import numpy as np
+import pytest
+import jax
+
+from pointcontrast_tpu.data import PadScheme, SyntheticPairDataset, collate_pair
+from pointcontrast_tpu.nn.res16unet import Res16UNetBase
+from pointcontrast_tpu.nn.resnet_block import BasicBlock
+from pointcontrast_tpu.parallel import make_mesh, replicate, shard_batch
+from pointcontrast_tpu.parallel.mesh import data_parallel_step
+from pointcontrast_tpu.train import PretrainConfig, make_train_step
+from pointcontrast_tpu.train import optim
+from pointcontrast_tpu.train.state import create_train_state
+
+
+class TinyUNet(Res16UNetBase):
+    BLOCK = BasicBlock
+    LAYERS = (1, 1, 1, 1, 1, 1, 1, 1)
+    PLANES = (4, 8, 16, 32, 32, 16, 8, 8)
+    INIT_DIM = 4
+
+
+def _make_state(batch, lr=0.1):
+    model = TinyUNet(in_channels=3, out_channels=8, normalize_feature=True)
+    cfg = PretrainConfig(mode="nce", npos=64, lr=lr)
+    tx = optim.make_optimizer(
+        "sgd", cfg.lr, optim.exp_lr(cfg.exp_gamma, cfg.lr_update_freq), cfg
+    )
+    state = create_train_state(
+        jax.random.PRNGKey(0), model, tx, (batch.feats0, batch.pyramid0)
+    )
+    return state, cfg
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs >=2 devices")
+class TestDataParallel:
+    def test_replicated_batch_matches_single_device(self):
+        """Identical per-device batches: the pmean'd update must equal the
+        single-device update exactly (gradients identical on each shard)."""
+        ds = SyntheticPairDataset(num_pairs=1, points_per_frame=500, seed=0)
+        scheme = PadScheme(npad0=2048)
+        rng = np.random.RandomState(0)
+        local = collate_pair([ds[0]], scheme, mode="nce", npos=64, rng=rng,
+                             fuse_frames=True)
+        state, cfg = _make_state(local)
+        step = make_train_step(cfg)
+
+        # single device
+        s1, m1 = jax.jit(lambda s, b: step(s, b, axis_name=None))(state, local)
+
+        # 2-device mesh with the SAME batch on both shards
+        n = 2
+        stacked = jax.tree.map(
+            lambda x: np.stack([np.asarray(x)] * n) if hasattr(x, "ndim") else x,
+            local,
+        )
+        mesh = make_mesh(n)
+        dp = data_parallel_step(step, mesh, donate_state=False)
+        s2, m2 = dp(replicate(state, mesh), shard_batch(stacked, mesh))
+
+        np.testing.assert_allclose(
+            float(m1["loss"]), float(jax.device_get(m2["loss"])), rtol=1e-5
+        )
+        for a, b in zip(
+            jax.tree.leaves(jax.device_get(s1.params)),
+            jax.tree.leaves(jax.device_get(s2.params)),
+        ):
+            np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6)
+
+    def test_distinct_batches_average_gradients(self):
+        """Distinct shards: DP loss is the mean of per-shard losses."""
+        ds = SyntheticPairDataset(num_pairs=2, points_per_frame=500, seed=1)
+        scheme = PadScheme(npad0=2048)
+        rng = np.random.RandomState(0)
+        parts = [
+            collate_pair([ds[i]], scheme, mode="nce", npos=64,
+                         rng=np.random.RandomState(i), fuse_frames=True)
+            for i in range(2)
+        ]
+        state, cfg = _make_state(parts[0])
+        step = make_train_step(cfg)
+        single = jax.jit(lambda s, b: step(s, b, axis_name=None))
+        losses = [float(single(state, p)[1]["loss"]) for p in parts]
+
+        stacked = jax.tree.map(
+            lambda *xs: np.stack([np.asarray(x) for x in xs])
+            if hasattr(xs[0], "ndim") else xs[0],
+            *parts,
+        )
+        mesh = make_mesh(2)
+        dp = data_parallel_step(step, mesh, donate_state=False)
+        _, m = dp(replicate(state, mesh), shard_batch(stacked, mesh))
+        np.testing.assert_allclose(
+            float(jax.device_get(m["loss"])), np.mean(losses), rtol=1e-5
+        )
