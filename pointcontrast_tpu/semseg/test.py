@@ -41,7 +41,7 @@ def average_precision(probs: np.ndarray, labels: np.ndarray,
     return aps
 
 
-def test_model(
+def test_model(  # noqa: the reference names this "test" (lib/test.py:62)
     state,
     dataset,
     num_classes: int,
@@ -115,3 +115,6 @@ def test_model(
         "ap": aps,
         "map": float(np.nanmean(aps)),
     }
+
+
+test_model.__test__ = False  # keep pytest from collecting the API function
