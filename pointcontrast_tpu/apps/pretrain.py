@@ -101,6 +101,7 @@ def main(argv: list[str] | None = None):
         num_workers=cfg.misc.num_workers,
         seed=cfg.misc.seed,
         fuse_frames=bool(cfg.data.get("fuse_frames", True)),
+        conv0_kernel_size=cfg.net.conv1_kernel_size,
     )
     model = load_model(cfg.net.model)(
         in_channels=3,

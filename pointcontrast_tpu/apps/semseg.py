@@ -82,10 +82,12 @@ def main(argv: list[str] | None = None):
         augment_shift=cfg.augmentation.shift_coords,
         limit_numpoints=cfg.data.limit_numpoints,
         num_workers=cfg.data.num_workers,
+        conv0_kernel_size=cfg.net.conv1_kernel_size,
     )
     val_loader = SemsegLoader(
         val_ds, cfg.data.batch_size, scheme, shuffle=False,
         num_workers=cfg.data.num_workers,
+        conv0_kernel_size=cfg.net.conv1_kernel_size,
     )
 
     model = load_model(cfg.net.model)(

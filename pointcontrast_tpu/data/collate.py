@@ -136,12 +136,14 @@ def _subsample_frame(coords, feats, keep_n, rng):
     return coords[sel], feats[sel], remap
 
 
-def _build_padded_pyramid(coords, scheme: PadScheme, num_batch: int):
+def _build_padded_pyramid(coords, scheme: PadScheme, num_batch: int,
+                          conv0_kernel_size: int = 3):
     return build_pyramid(
         coords,
         num_levels=scheme.num_levels,
         npads=scheme.npads,
         num_batch=num_batch,
+        conv0_kernel_size=conv0_kernel_size,
     )
 
 
@@ -265,6 +267,7 @@ def collate_pair(
     rng: np.random.RandomState | None = None,
     max_fit_attempts: int = 6,
     fuse_frames: bool = False,
+    conv0_kernel_size: int = 3,
 ) -> PairBatch:
     """Collate ``__getitem__`` tuples into one static-shaped ``PairBatch``.
 
@@ -321,12 +324,13 @@ def collate_pair(
                 c1f = c1.copy()
                 c1f[:, 0] += nb  # frame-1 clouds as extra batch samples
                 pyr0, _ = _build_padded_pyramid(
-                    np.concatenate([c0, c1f]), scheme, 2 * nb
+                    np.concatenate([c0, c1f]), scheme, 2 * nb,
+                    conv0_kernel_size,
                 )
                 pyr1 = None
             else:
-                pyr0, _ = _build_padded_pyramid(c0, scheme, nb)
-                pyr1, _ = _build_padded_pyramid(c1, scheme, nb)
+                pyr0, _ = _build_padded_pyramid(c0, scheme, nb, conv0_kernel_size)
+                pyr1, _ = _build_padded_pyramid(c1, scheme, nb, conv0_kernel_size)
         except ValueError:
             # deeper-level overflow: shrink level 0 and retry
             for frame_lists in ((coords0, feats0, 0), (coords1, feats1, 1)):

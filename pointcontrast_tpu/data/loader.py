@@ -39,6 +39,7 @@ class PairLoader:
         num_shards: int = 1,
         shard_id: int = 0,
         fuse_frames: bool = False,
+        conv0_kernel_size: int = 3,
     ):
         """num_device_batches > 1 stacks that many independent per-device
         batches along a leading axis (the data-parallel mesh axis)."""
@@ -51,6 +52,7 @@ class PairLoader:
         self.num_hn = num_hn
         self.num_device_batches = num_device_batches
         self.fuse_frames = fuse_frames
+        self.conv0_kernel_size = conv0_kernel_size
         self.sampler = DistributedInfSampler(
             len(dataset), num_shards, shard_id, shuffle, seed
         )
@@ -73,6 +75,7 @@ class PairLoader:
             num_hn=self.num_hn,
             rng=self.rng,
             fuse_frames=self.fuse_frames,
+            conv0_kernel_size=self.conv0_kernel_size,
         )
 
     def _produce(self):

@@ -180,6 +180,7 @@ def collate_semseg(
     limit_numpoints: int = 0,
     rng: np.random.RandomState | None = None,
     num_levels: int | None = None,
+    conv0_kernel_size: int = 3,
 ) -> SemsegBatch:
     """Concatenate + pad to static shapes and build the pyramid.
 
@@ -224,6 +225,7 @@ def collate_semseg(
         num_levels=num_levels or scheme.num_levels,
         npads=scheme.npads,
         num_batch=nb,
+        conv0_kernel_size=conv0_kernel_size,
     )
     npad0 = scheme.npads[0]
     fpad = np.zeros((npad0, feats.shape[1]), np.float32)
@@ -250,6 +252,7 @@ class SemsegLoader:
         num_shards: int = 1,
         shard_id: int = 0,
         num_levels: int | None = None,
+        conv0_kernel_size: int = 3,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -257,6 +260,7 @@ class SemsegLoader:
         self.augment_shift = augment_shift
         self.limit_numpoints = limit_numpoints
         self.num_levels = num_levels
+        self.conv0_kernel_size = conv0_kernel_size
         self.sampler = DistributedInfSampler(
             len(dataset), num_shards, shard_id, shuffle, seed
         )
@@ -280,6 +284,7 @@ class SemsegLoader:
                     limit_numpoints=self.limit_numpoints,
                     rng=self.rng,
                     num_levels=self.num_levels,
+                    conv0_kernel_size=self.conv0_kernel_size,
                 )
             except Exception as e:
                 self._queue.put(e)
