@@ -62,10 +62,15 @@ class SemsegConfig:
 
 
 def make_semseg_train_step(config: SemsegConfig):
-    def step(state: TrainState, batch: SemsegBatch, axis_name: str | None = None):
+    """One optimizer step. With ``iter_size > 1`` the batch arrives stacked
+    [iter_size, ...] and gradients are accumulated over a ``lax.scan`` of
+    forwards before one update, loss scaled by 1/iter_size — the reference's
+    inner accumulation loop (lib/train.py:96-157)."""
+
+    def grads_of(params, batch_stats, batch, apply_fn):
         def loss_fn(params):
-            variables = {"params": params, "batch_stats": state.batch_stats}
-            logits, mut = state.apply_fn(
+            variables = {"params": params, "batch_stats": batch_stats}
+            logits, mut = apply_fn(
                 variables, batch.feats, batch.pyramid, train=True,
                 mutable=["batch_stats"],
             )
@@ -80,9 +85,33 @@ def make_semseg_train_step(config: SemsegConfig):
             )
             return loss, (mut["batch_stats"], {"loss": loss, "acc": acc})
 
-        (_, (bs, metrics)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        return grads, aux
+
+    def step(state: TrainState, batch: SemsegBatch, axis_name: str | None = None):
+        stacked = config.iter_size > 1
+        if stacked:
+            def body(carry, sub):
+                bs, gacc, macc = carry
+                grads, (new_bs, metrics) = grads_of(
+                    state.params, bs, sub, state.apply_fn
+                )
+                gacc = jax.tree.map(jnp.add, gacc, grads)
+                macc = jax.tree.map(jnp.add, macc, metrics)
+                return (new_bs, gacc, macc), None
+
+            zeros_g = jax.tree.map(jnp.zeros_like, state.params)
+            zeros_m = {"loss": jnp.zeros(()), "acc": jnp.zeros(())}
+            (bs, grads, metrics), _ = jax.lax.scan(
+                body, (state.batch_stats, zeros_g, zeros_m), batch
+            )
+            inv = 1.0 / config.iter_size
+            grads = jax.tree.map(lambda g: g * inv, grads)
+            metrics = jax.tree.map(lambda m: m * inv, metrics)
+        else:
+            grads, (bs, metrics) = grads_of(
+                state.params, state.batch_stats, batch, state.apply_fn
+            )
         grads = pmean_if_parallel(grads, axis_name)
         metrics = pmean_if_parallel(metrics, axis_name)
         new_state = state.apply_gradients(grads, new_batch_stats=bs)
@@ -194,7 +223,23 @@ class SemsegTrainer:
         writer = MetricsLogger(cfg.checkpoint_dir)
         from pointcontrast_tpu.utils.prefetch import device_prefetch
 
-        feed = device_prefetch(self.train_loader)
+        if cfg.iter_size > 1:
+            # gradient accumulation: stack iter_size loader batches along a
+            # leading scan axis (after the device axis when data-parallel)
+            src = self.train_loader
+            axis = 1 if self.mesh is not None else 0
+            batch = None  # the single init batch can't seed a stacked step
+
+            def stacked():
+                while True:
+                    parts = [next(src) for _ in range(cfg.iter_size)]
+                    yield jax.tree.map(
+                        lambda *xs: np.stack(xs, axis=axis), *parts
+                    )
+
+            feed = device_prefetch(stacked())
+        else:
+            feed = device_prefetch(self.train_loader)
         while int(self.state.step) < target:
             t0 = time.perf_counter()
             if batch is None:
