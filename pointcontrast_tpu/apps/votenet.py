@@ -13,8 +13,6 @@ import logging
 import os
 import sys
 
-import numpy as np
-
 from pointcontrast_tpu.config import load_config, maybe_resume_config, save_config
 
 log = logging.getLogger(__name__)

@@ -69,8 +69,9 @@ def get_bn_momentum(epoch: int, config: DetectConfig) -> float:
     return max(m, config.bn_momentum_min)
 
 
-def make_detect_train_step(model, dataset_config, lr_schedule):
-    """step(state, batch_dict) -> (state, metrics); Adam via optax."""
+def make_detect_train_step(model, dataset_config, lr_schedule=None):
+    """step(state, batch_dict) -> (state, metrics); Adam via optax (the LR
+    is set per epoch through inject_hyperparams, see DetectTrainer.set_lr)."""
 
     def step(state: TrainState, batch):
         inputs = _batch_to_inputs(batch)
@@ -192,7 +193,6 @@ class DetectTrainer:
             "per_class_proposal": cfg.per_class_proposal,
             "conf_thresh": cfg.conf_thresh,
         }
-        losses = []
         for _ in range(num_batches):
             batch = next(loader)
             inputs = _batch_to_inputs(batch)
