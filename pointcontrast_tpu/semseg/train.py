@@ -203,11 +203,19 @@ class SemsegTrainer:
         self.best_miou = -1.0
         ckpt = latest_checkpoint(config.checkpoint_dir)
         if ckpt is not None:
-            payload = load_checkpoint(ckpt)
+            # template restore keeps NamedTuple opt-state leaf order intact
+            template = {
+                "curr_iter": np.asarray(0),
+                "params": jax.device_get(self.state.params),
+                "batch_stats": jax.device_get(self.state.batch_stats),
+                "opt_state": jax.device_get(self.state.opt_state),
+            }
+            payload = load_checkpoint(ckpt, template=template)
             self.state = self.state.replace(
                 step=int(payload["curr_iter"]),
                 params=payload["params"],
                 batch_stats=payload["batch_stats"],
+                opt_state=payload["opt_state"],
             )
             log.info("resumed from %s", ckpt)
 

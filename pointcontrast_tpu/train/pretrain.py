@@ -153,15 +153,20 @@ class PretrainTrainer:
 
         ckpt = latest_checkpoint(config.checkpoint_dir)
         if ckpt is not None:
-            payload = load_checkpoint(ckpt)
+            # Restore against a template: a template-free orbax restore
+            # sorts dict keys, which misorders NamedTuple opt-state leaves.
+            template = {
+                "curr_iter": np.asarray(0),
+                "params": jax.device_get(self.state.params),
+                "batch_stats": jax.device_get(self.state.batch_stats),
+                "opt_state": jax.device_get(self.state.opt_state),
+            }
+            payload = load_checkpoint(ckpt, template=template)
             self.state = self.state.replace(
                 step=int(payload["curr_iter"]),
                 params=payload["params"],
                 batch_stats=payload["batch_stats"],
-                opt_state=jax.tree.unflatten(
-                    jax.tree.structure(self.state.opt_state),
-                    jax.tree.leaves(payload["opt_state"]),
-                ),
+                opt_state=payload["opt_state"],
             )
             log.info("resumed from %s at iter %d", ckpt, int(payload["curr_iter"]))
 
