@@ -12,11 +12,9 @@ Design (mirrors DDP semantics exactly, see SURVEY.md section 2.5):
 """
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 

@@ -34,7 +34,7 @@ import numpy as np
 from flax import struct
 
 from pointcontrast_tpu.sparse.hashing import HashSpec
-from pointcontrast_tpu.sparse.kernel_map import kernel_offsets, offset_index
+from pointcontrast_tpu.sparse.kernel_map import kernel_offsets
 
 _BUCKET_BASE = 256
 

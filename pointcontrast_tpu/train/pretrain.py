@@ -11,10 +11,8 @@ from __future__ import annotations
 import dataclasses
 import logging
 import time
-from typing import Any
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from pointcontrast_tpu.data.collate import PairBatch
