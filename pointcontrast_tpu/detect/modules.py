@@ -83,6 +83,7 @@ class PointnetSAModuleVotes(nn.Module):
     mlp: Sequence[int]
     use_xyz: bool = True
     normalize_xyz: bool = True
+    bn_momentum: float = 0.1
 
     @nn.compact
     def __call__(self, xyz, features, inds=None, train: bool = True):
@@ -93,7 +94,9 @@ class PointnetSAModuleVotes(nn.Module):
             xyz, new_xyz, features, self.radius, self.nsample,
             use_xyz=self.use_xyz, normalize_xyz=self.normalize_xyz,
         )  # [B, M, S, C']
-        out = SharedMLP(self.mlp, name="mlp")(grouped, train=train)
+        out = SharedMLP(self.mlp, bn_momentum=self.bn_momentum, name="mlp")(
+            grouped, train=train
+        )
         out = jnp.max(out, axis=2)  # [B, M, mlp[-1]]
         return new_xyz, out, inds
 
@@ -102,6 +105,7 @@ class PointnetFPModule(nn.Module):
     """Feature propagation: interpolate known->unknown + skip concat + MLP."""
 
     mlp: Sequence[int]
+    bn_momentum: float = 0.1
 
     @nn.compact
     def __call__(self, unknown_xyz, known_xyz, unknown_feats, known_feats,
@@ -116,7 +120,9 @@ class PointnetFPModule(nn.Module):
         interp = jnp.sum(g * w[:, :, :, None], axis=2)
         if unknown_feats is not None:
             interp = jnp.concatenate([interp, unknown_feats], axis=-1)
-        return SharedMLP(self.mlp, name="mlp")(interp, train=train)
+        return SharedMLP(self.mlp, bn_momentum=self.bn_momentum, name="mlp")(
+            interp, train=train
+        )
 
 
 class VotingModule(nn.Module):
@@ -126,18 +132,20 @@ class VotingModule(nn.Module):
 
     vote_factor: int
     seed_feature_dim: int
+    bn_momentum: float = 0.1
 
     @nn.compact
     def __call__(self, seed_xyz, seed_features, train: bool = True):
         b, num_seed, _ = seed_xyz.shape
         c = self.seed_feature_dim
+        m = 1.0 - self.bn_momentum
         net = nn.relu(
-            nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn1")(
+            nn.BatchNorm(use_running_average=not train, momentum=m, name="bn1")(
                 nn.Dense(c, use_bias=False, name="conv1")(seed_features)
             )
         )
         net = nn.relu(
-            nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn2")(
+            nn.BatchNorm(use_running_average=not train, momentum=m, name="bn2")(
                 nn.Dense(c, use_bias=False, name="conv2")(net)
             )
         )
@@ -165,6 +173,7 @@ class ProposalModule(nn.Module):
     num_proposal: int
     sampling: str = "vote_fps"
     seed_feat_dim: int = 256
+    bn_momentum: float = 0.1
 
     @nn.compact
     def __call__(self, xyz, features, end_points, train: bool = True,
@@ -172,7 +181,7 @@ class ProposalModule(nn.Module):
         agg = PointnetSAModuleVotes(
             npoint=self.num_proposal, radius=0.3, nsample=16,
             mlp=[128, 128, 128], use_xyz=True, normalize_xyz=True,
-            name="vote_aggregation",
+            bn_momentum=self.bn_momentum, name="vote_aggregation",
         )
         if self.sampling == "vote_fps":
             new_xyz, feats, sample_inds = agg(xyz, features, train=train)
@@ -195,13 +204,14 @@ class ProposalModule(nn.Module):
         end_points["aggregated_vote_xyz"] = new_xyz
         end_points["aggregated_vote_inds"] = sample_inds
 
+        m = 1.0 - self.bn_momentum
         net = nn.relu(
-            nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn1")(
+            nn.BatchNorm(use_running_average=not train, momentum=m, name="bn1")(
                 nn.Dense(128, use_bias=False, name="conv1")(feats)
             )
         )
         net = nn.relu(
-            nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn2")(
+            nn.BatchNorm(use_running_average=not train, momentum=m, name="bn2")(
                 nn.Dense(128, use_bias=False, name="conv2")(net)
             )
         )

@@ -166,9 +166,28 @@ class DetectTrainer:
         else:
             update(opt)
 
+    def set_bn_momentum(self, momentum: float):
+        """Rebuild the jitted step with the decayed BN momentum (reference
+        BNMomentumScheduler, pytorch_utils.py:271-298).  Parameters and
+        optimizer state carry over; one recompile per decay step (cached)."""
+        if getattr(self, "_bn_momentum", None) == momentum:
+            return
+        self._bn_momentum = momentum
+        model = self.model.clone(bn_momentum=momentum)
+        self.state = self.state.replace(apply_fn=model.apply)
+        self._step = jax.jit(
+            make_detect_train_step(model, self.dc, None), donate_argnums=0
+        )
+        self._eval_apply = jax.jit(
+            lambda params, bs, inputs: model.apply(
+                {"params": params, "batch_stats": bs}, inputs, train=False
+            )
+        )
+
     def train_epoch(self, loader, num_batches: int):
         cfg = self.config
         self.set_lr(get_current_lr(self.epoch, cfg))
+        self.set_bn_momentum(get_bn_momentum(self.epoch, cfg))
         losses = []
         for _ in range(num_batches):
             batch = next(loader)

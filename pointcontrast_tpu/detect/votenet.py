@@ -34,27 +34,29 @@ class Pointnet2Backbone(nn.Module):
     """reference backbone_module.py:19-131 (SSG PointNet++)."""
 
     input_feature_dim: int = 0
+    bn_momentum: float = 0.1
 
     @nn.compact
     def __call__(self, pointcloud, end_points, train: bool = True):
         xyz = pointcloud[..., 0:3]
         features = pointcloud[..., 3:] if pointcloud.shape[-1] > 3 else None
 
+        bnm = self.bn_momentum
         sa1 = PointnetSAModuleVotes(
             npoint=2048, radius=0.2, nsample=64,
-            mlp=[64, 64, 128], name="sa1",
+            mlp=[64, 64, 128], bn_momentum=bnm, name="sa1",
         )
         sa2 = PointnetSAModuleVotes(
             npoint=1024, radius=0.4, nsample=32,
-            mlp=[128, 128, 256], name="sa2",
+            mlp=[128, 128, 256], bn_momentum=bnm, name="sa2",
         )
         sa3 = PointnetSAModuleVotes(
             npoint=512, radius=0.8, nsample=16,
-            mlp=[128, 128, 256], name="sa3",
+            mlp=[128, 128, 256], bn_momentum=bnm, name="sa3",
         )
         sa4 = PointnetSAModuleVotes(
             npoint=256, radius=1.2, nsample=16,
-            mlp=[128, 128, 256], name="sa4",
+            mlp=[128, 128, 256], bn_momentum=bnm, name="sa4",
         )
         xyz1, feat1, inds1 = sa1(xyz, features, train=train)
         end_points["sa1_inds"], end_points["sa1_xyz"] = inds1, xyz1
@@ -63,10 +65,10 @@ class Pointnet2Backbone(nn.Module):
         xyz3, feat3, _ = sa3(xyz2, feat2, train=train)
         xyz4, feat4, _ = sa4(xyz3, feat3, train=train)
 
-        f3 = PointnetFPModule(mlp=[256, 256], name="fp1")(
+        f3 = PointnetFPModule(mlp=[256, 256], bn_momentum=bnm, name="fp1")(
             xyz3, xyz4, feat3, feat4, train=train
         )
-        f2 = PointnetFPModule(mlp=[256, 256], name="fp2")(
+        f2 = PointnetFPModule(mlp=[256, 256], bn_momentum=bnm, name="fp2")(
             xyz2, xyz3, feat2, f3, train=train
         )
         end_points["fp2_features"] = f2
@@ -83,6 +85,7 @@ class SparseConvBackbone(nn.Module):
     output_feature_dim: int = 256
     num_seed: int = 1024
     model_name: str = "Res16UNet34C"
+    bn_momentum: float = 0.1
 
     @nn.compact
     def __call__(self, pointcloud, voxel_feats, pyramid, point_voxel_idx,
@@ -94,6 +97,7 @@ class SparseConvBackbone(nn.Module):
         net = load_model(self.model_name)(
             in_channels=voxel_feats.shape[-1],
             out_channels=self.output_feature_dim,
+            bn_momentum=self.bn_momentum,
             name="net",
         )
         vout = net(voxel_feats, pyramid, train=train)  # [npad0, C]
@@ -127,19 +131,23 @@ class VoteNet(nn.Module):
     sampling: str = "vote_fps"
     backbone: str = "pointnet2"
     use_voting: bool = True
+    bn_momentum: float = 0.1  # decayed per epoch by DetectTrainer (reference
+    # pytorch_utils.BNMomentumScheduler, 0.5 halved every 20 epochs)
 
     @nn.compact
     def __call__(self, inputs: dict, train: bool = True):
         end_points: dict = {}
         if self.backbone == "pointnet2":
             end_points = Pointnet2Backbone(
-                input_feature_dim=self.input_feature_dim, name="backbone_net"
+                input_feature_dim=self.input_feature_dim,
+                bn_momentum=self.bn_momentum, name="backbone_net",
             )(inputs["point_clouds"], end_points, train=train)
         else:
             end_points = SparseConvBackbone(
                 input_feature_dim=self.input_feature_dim + 3,
                 output_feature_dim=256,
                 num_seed=1024,
+                bn_momentum=self.bn_momentum,
                 name="backbone_net",
             )(
                 inputs["point_clouds"], inputs["voxel_feats"],
@@ -155,7 +163,7 @@ class VoteNet(nn.Module):
 
         if self.use_voting:
             xyz, features = VotingModule(
-                self.vote_factor, 256, name="vgen"
+                self.vote_factor, 256, bn_momentum=self.bn_momentum, name="vgen"
             )(xyz, features, train=train)
             # L2-normalize vote features (votenet.py:120-121)
             norm = jnp.linalg.norm(features, axis=-1, keepdims=True)
@@ -167,6 +175,7 @@ class VoteNet(nn.Module):
             self.num_class, self.num_heading_bin, self.num_size_cluster,
             self.mean_size_arr, self.num_proposal,
             self.sampling if self.use_voting else "seed_fps",
+            bn_momentum=self.bn_momentum,
             name="pnet",
         )(xyz, features, end_points, train=train)
         return end_points
