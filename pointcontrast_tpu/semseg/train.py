@@ -196,7 +196,9 @@ class SemsegTrainer:
 
             self._step = data_parallel_step(step, mesh)
         else:
-            self._step = jax.jit(lambda s, b: step(s, b, axis_name=None))
+            self._step = jax.jit(
+                lambda s, b: step(s, b, axis_name=None), donate_argnums=0
+            )
         self._eval_step = jax.jit(make_eval_step())
 
         self.best_miou = -1.0

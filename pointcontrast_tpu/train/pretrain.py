@@ -147,7 +147,9 @@ class PretrainTrainer:
 
             self._step = data_parallel_step(step, mesh)
         else:
-            self._step = jax.jit(lambda s, b: step(s, b, axis_name=None))
+            self._step = jax.jit(
+                lambda s, b: step(s, b, axis_name=None), donate_argnums=0
+            )
 
         ckpt = latest_checkpoint(config.checkpoint_dir)
         if ckpt is not None:

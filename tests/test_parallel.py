@@ -93,3 +93,30 @@ class TestDataParallel:
         np.testing.assert_allclose(
             float(jax.device_get(m["loss"])), np.mean(losses), rtol=1e-5
         )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs >=2 devices")
+class TestMeshTrainer:
+    def test_pretrain_trainer_on_mesh(self, tmp_path):
+        """Full PretrainTrainer path with a 2-device mesh and a loader that
+        stacks one device-batch per mesh slot."""
+        from pointcontrast_tpu.data import PairLoader
+        from pointcontrast_tpu.parallel import make_mesh
+        from pointcontrast_tpu.train import PretrainConfig, PretrainTrainer
+
+        ds = SyntheticPairDataset(num_pairs=4, points_per_frame=400, seed=0)
+        scheme = PadScheme(npad0=1024)
+        loader = PairLoader(
+            ds, batch_size=1, scheme=scheme, mode="nce", npos=64,
+            num_device_batches=2, num_workers=1, seed=0, fuse_frames=True,
+        )
+        model = TinyUNet(in_channels=3, out_channels=8, normalize_feature=True)
+        cfg = PretrainConfig(
+            mode="nce", npos=64, max_iter=3, stat_freq=1, save_freq=100,
+            checkpoint_dir=str(tmp_path), lr=0.05,
+        )
+        trainer = PretrainTrainer(model, loader, cfg, mesh=make_mesh(2))
+        history = trainer.train(3)
+        loader.close()
+        assert len(history) == 3
+        assert all(np.isfinite(m["loss"]) for _, m in history)
