@@ -77,13 +77,16 @@ def main(argv: list[str] | None = None):
         npad0=cfg.data.npad0,
         level_ratios=tuple(cfg.data.pad_ratios) if cfg.data.get("pad_ratios") else None,
     )
+    ndb = num_devices if mesh is not None else 1
     train_loader = SemsegLoader(
         train_ds, cfg.data.batch_size, scheme,
         augment_shift=cfg.augmentation.shift_coords,
         limit_numpoints=cfg.data.limit_numpoints,
         num_workers=cfg.data.num_workers,
         conv0_kernel_size=cfg.net.conv1_kernel_size,
+        num_device_batches=ndb,
     )
+    # validation runs single-device (the eval step is a plain jit)
     val_loader = SemsegLoader(
         val_ds, cfg.data.batch_size, scheme, shuffle=False,
         num_workers=cfg.data.num_workers,

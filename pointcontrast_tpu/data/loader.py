@@ -65,7 +65,17 @@ class PairLoader:
 
     def _one_device_batch(self):
         idxs = [next(self.sampler) for _ in range(self.batch_size)]
-        samples = list(self._pool.map(self.dataset.__getitem__, idxs))
+        # np.random.RandomState is not thread-safe: hand each pool task its
+        # own RNG seeded from the (single-threaded) producer stream.
+        seeds = [int(self.rng.randint(0, 2**31 - 1)) for _ in idxs]
+        samples = list(
+            self._pool.map(
+                lambda iv: self.dataset.__getitem__(
+                    iv[0], rng=np.random.RandomState(iv[1])
+                ),
+                zip(idxs, seeds),
+            )
+        )
         return collate_pair(
             samples,
             self.scheme,

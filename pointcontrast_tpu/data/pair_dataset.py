@@ -83,8 +83,8 @@ class PairDatasetBase:
     def reset_seed(self, seed: int = 0):
         self.rng = np.random.RandomState(seed)
 
-    def _make_pair(self, xyz0: np.ndarray, xyz1: np.ndarray):
-        rng = self.rng
+    def _make_pair(self, xyz0: np.ndarray, xyz1: np.ndarray, rng=None):
+        rng = rng if rng is not None else self.rng
         search_r = self.voxel_size * self.search_mult
 
         if self.random_scale and rng.rand() < 0.95:
@@ -146,11 +146,11 @@ class ScanNetMatchPairDataset(PairDatasetBase):
     def __len__(self):
         return len(self.files)
 
-    def __getitem__(self, idx: int):
+    def __getitem__(self, idx: int, rng=None):
         f0, f1 = self.files[idx]
         xyz0 = np.load(os.path.join(self.root, f0))["pcd"]
         xyz1 = np.load(os.path.join(self.root, f1))["pcd"]
-        return self._make_pair(xyz0, xyz1)
+        return self._make_pair(xyz0, xyz1, rng)
 
 
 class SyntheticPairDataset(PairDatasetBase):
@@ -206,11 +206,11 @@ class SyntheticPairDataset(PairDatasetBase):
             patches.append(pts @ rot.T + center)
         return np.concatenate(patches, axis=0)
 
-    def __getitem__(self, idx: int):
-        rng = np.random.RandomState(self.scene_seed + idx)
-        cloud = self._scene_cloud(rng)
+    def __getitem__(self, idx: int, rng=None):
+        scene_rng = np.random.RandomState(self.scene_seed + idx)
+        cloud = self._scene_cloud(scene_rng)
         # Two views: overlapping halves along a random direction.
-        d = rng.randn(3)
+        d = scene_rng.randn(3)
         d /= np.linalg.norm(d)
         proj = cloud @ d
         lo, hi = np.quantile(proj, [0.0, 1.0])
@@ -218,6 +218,6 @@ class SyntheticPairDataset(PairDatasetBase):
         width = (hi - lo) * self.overlap / 2
         m0 = proj <= split + width
         m1 = proj >= split - width
-        xyz0 = cloud[m0][: self.n_points] + rng.randn(min(m0.sum(), self.n_points), 3) * self.noise
-        xyz1 = cloud[m1][: self.n_points] + rng.randn(min(m1.sum(), self.n_points), 3) * self.noise
-        return self._make_pair(xyz0, xyz1)
+        xyz0 = cloud[m0][: self.n_points] + scene_rng.randn(min(m0.sum(), self.n_points), 3) * self.noise
+        xyz1 = cloud[m1][: self.n_points] + scene_rng.randn(min(m1.sum(), self.n_points), 3) * self.noise
+        return self._make_pair(xyz0, xyz1, rng)

@@ -49,11 +49,18 @@ class DistributedInfSampler(InfSampler):
         self.shard_id = shard_id
         self._pos = 0
 
+    def _refill(self):
+        super()._refill()
+        # Pad the permutation to a multiple of num_shards (wrap-around, the
+        # torch DistributedSampler convention) so every shard consumes the
+        # same number of items per pass — otherwise shards desynchronize
+        # across epoch boundaries and can emit duplicates in one step.
+        rem = (-len(self._queue)) % self.num_shards
+        if rem:
+            self._queue = self._queue + self._queue[:rem]
+
     def __next__(self) -> int:
-        if not self._queue:
-            self._refill()
-            self._pos = self.shard_id
-        if self._pos >= len(self._queue):
+        if not self._queue or self._pos >= len(self._queue):
             self._refill()
             self._pos = self.shard_id
         item = self._queue[self._pos]

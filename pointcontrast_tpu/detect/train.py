@@ -153,18 +153,20 @@ class DetectTrainer:
         self.epoch = 0
 
     def set_lr(self, lr: float):
-        # inject_hyperparams exposes the lr inside opt_state; find and set it.
+        # inject_hyperparams exposes the lr inside opt_state. NOTE: the
+        # inject state is itself a NamedTuple (so `isinstance(x, tuple)` is
+        # true) — check for .hyperparams FIRST, then recurse into chain
+        # tuples.
         def update(tree):
             if hasattr(tree, "hyperparams"):
                 tree.hyperparams["learning_rate"] = jnp.asarray(lr)
-            return tree
+                return True
+            if isinstance(tree, tuple):
+                return any(update(o) for o in tree)
+            return False
 
-        opt = self.state.opt_state
-        if isinstance(opt, tuple):
-            for o in opt:
-                update(o)
-        else:
-            update(opt)
+        if not update(self.state.opt_state):
+            raise RuntimeError("no inject_hyperparams state found to set lr")
 
     def set_bn_momentum(self, momentum: float):
         """Rebuild the jitted step with the decayed BN momentum (reference

@@ -74,6 +74,10 @@ class Res16UNetBase(nn.Module):
             return MaskedBatchNorm(bnm, dtype=dtype, name=name)
 
         # --- stem (conv0p1s1) ---
+        assert self.conv1_kernel_size == 3 or lv[0].nbr0 is not None, (
+            f"conv1_kernel_size={self.conv1_kernel_size} requires a pyramid "
+            "built with the same conv0_kernel_size (got no nbr0 map)"
+        )
         nbr0 = lv[0].nbr0 if lv[0].nbr0 is not None else lv[0].nbr
         out = SparseConv(self.INIT_DIM, nbr0.shape[0], dtype=dtype, name="conv0p1s1")(
             features.astype(dtype), nbr0, lv[0].valid

@@ -36,7 +36,8 @@ class _StridedBlock(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, down_nbr3, down_center, nbr_out, valid_out, train):
+    def __call__(self, x, down_nbr3, down_center, nbr_out, valid_in,
+                 valid_out, train):
         dtype = self.dtype or x.dtype
         exp = 4 if self.bottleneck else 1
 
@@ -44,14 +45,15 @@ class _StridedBlock(nn.Module):
             return MaskedBatchNorm(self.bn_momentum, dtype=dtype, name=name)
 
         if self.bottleneck:
-            # 1x1 s2 (center-child gather) -> 3x3 s1 -> 1x1
-            out = SparseConv(self.planes, 1, dtype=dtype, name="conv1")(
-                x, down_center, valid_out
-            )
-            out = relu(bn("norm1")(out, valid_out, train))
-            out = SparseConv(self.planes, nbr_out.shape[0], dtype=dtype, name="conv2")(
-                out, nbr_out, valid_out
-            )
+            # 1x1 s1 (fine level) -> 3x3 s2 (down_nbr3) -> 1x1: conv2
+            # carries the stride, matching the reference BottleneckBase
+            # (semseg models/modules/resnet_block.py:89-105).
+            out = SparseLinear(self.planes, use_bias=False, dtype=dtype,
+                               name="conv1")(x, valid_in)
+            out = relu(bn("norm1")(out, valid_in, train))
+            out = SparseConv(
+                self.planes, down_nbr3.shape[0], dtype=dtype, name="conv2"
+            )(out, down_nbr3, valid_out)
             out = relu(bn("norm2")(out, valid_out, train))
             out = SparseLinear(self.planes * exp, use_bias=False, dtype=dtype,
                                name="conv3")(out, valid_out)
@@ -98,6 +100,10 @@ class ResNetBase(nn.Module):
         )
         bottleneck = self.BLOCK is Bottleneck
 
+        assert self.conv1_kernel_size == 3 or lv[0].nbr0 is not None, (
+            f"conv1_kernel_size={self.conv1_kernel_size} requires a pyramid "
+            "built with the same conv0_kernel_size (got no nbr0 map)"
+        )
         nbr0 = lv[0].nbr0 if lv[0].nbr0 is not None else lv[0].nbr
         out = SparseConv(self.INIT_DIM, nbr0.shape[0], dtype=dtype, name="conv1")(
             features.astype(dtype), nbr0, lv[0].valid
@@ -119,7 +125,8 @@ class ResNetBase(nn.Module):
                 dtype=dtype,
                 name=f"layer{i + 1}_0",
             )(
-                out, src.down_nbr3, src.down_nbr[0:1], dst.nbr, dst.valid, train
+                out, src.down_nbr3, src.down_nbr[0:1], dst.nbr,
+                src.valid, dst.valid, train,
             )
             for b in range(1, self.LAYERS[i]):
                 out = self.BLOCK(

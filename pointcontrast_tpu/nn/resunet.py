@@ -67,6 +67,10 @@ class MinkUNetBase(nn.Module):
         def bn(name):
             return MaskedBatchNorm(self.bn_momentum, dtype=dtype, name=name)
 
+        assert self.conv1_kernel_size == 3 or lv[0].nbr0 is not None, (
+            f"conv1_kernel_size={self.conv1_kernel_size} requires a pyramid "
+            "built with the same conv0_kernel_size (got no nbr0 map)"
+        )
         nbr0 = lv[0].nbr0 if lv[0].nbr0 is not None else lv[0].nbr
         out = SparseConv(self.INIT_DIM, nbr0.shape[0], dtype=dtype, name="conv1p1s1")(
             features.astype(dtype), nbr0, lv[0].valid
@@ -191,6 +195,10 @@ class MinkUNetHyper(MinkUNetBase):
                 x = ops.sparse_avg_unpool(x, lv[l].up_parent, lv[l].valid)
             return x
 
+        assert self.conv1_kernel_size == 3 or lv[0].nbr0 is not None, (
+            f"conv1_kernel_size={self.conv1_kernel_size} requires a pyramid "
+            "built with the same conv0_kernel_size (got no nbr0 map)"
+        )
         nbr0 = lv[0].nbr0 if lv[0].nbr0 is not None else lv[0].nbr
         out = SparseConv(self.INIT_DIM, nbr0.shape[0], dtype=dtype, name="conv1p1s1")(
             features.astype(dtype), nbr0, lv[0].valid

@@ -6,9 +6,11 @@ Design (mirrors DDP semantics exactly, see SURVEY.md section 2.5):
   - the step function runs per-device under ``shard_map``; gradients and
     scalar metrics are ``pmean``-reduced over the axis — DDP's all-reduce;
   - batch norm stays per-replica (the reference runs DDP with
-    broadcast_buffers=False, ddp_trainer.py:101, i.e. unsynced BN), so BN
-    statistics need no cross-device reduction; running stats are averaged
-    only at checkpoint time.
+    broadcast_buffers=False, ddp_trainer.py:101, i.e. unsynced BN).  Running
+    stats therefore diverge across replicas; checkpoints materialize
+    device 0's copy — exactly the reference's rank-0 torch.save semantics
+    (ddp_trainer.py:151-153).  check_rep=False below acknowledges this
+    intentional divergence of the replicated-state invariant.
 """
 from __future__ import annotations
 

@@ -139,8 +139,8 @@ class VoxelizationDataset:
         norm_coords = coords - coords.mean(0)
         return np.concatenate([feats, norm_coords], 1)
 
-    def __getitem__(self, index: int):
-        rng = self.rng
+    def __getitem__(self, index: int, rng=None):
+        rng = rng if rng is not None else self.rng
         coords, feats, labels, center = self.load_sample(index)
         if self.PREVOXELIZATION_VOXEL_SIZE is not None:
             inds = sparse_quantize(
@@ -253,7 +253,10 @@ class SemsegLoader:
         shard_id: int = 0,
         num_levels: int | None = None,
         conv0_kernel_size: int = 3,
+        num_device_batches: int = 1,
     ):
+        """num_device_batches > 1 stacks that many per-device batches on a
+        leading axis (the data-parallel mesh axis), like PairLoader."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.scheme = scheme
@@ -261,6 +264,7 @@ class SemsegLoader:
         self.limit_numpoints = limit_numpoints
         self.num_levels = num_levels
         self.conv0_kernel_size = conv0_kernel_size
+        self.num_device_batches = num_device_batches
         self.sampler = DistributedInfSampler(
             len(dataset), num_shards, shard_id, shuffle, seed
         )
@@ -271,21 +275,42 @@ class SemsegLoader:
         self._thread = threading.Thread(target=self._produce, daemon=True)
         self._thread.start()
 
+    def _one_device_batch(self):
+        idxs = [next(self.sampler) for _ in range(self.batch_size)]
+        # per-task RNGs: RandomState is not thread-safe under the pool
+        seeds = [int(self.rng.randint(0, 2**31 - 1)) for _ in idxs]
+        samples = list(
+            self._pool.map(
+                lambda iv: self.dataset.__getitem__(
+                    iv[0], rng=np.random.RandomState(iv[1])
+                ),
+                zip(idxs, seeds),
+            )
+        )
+        return collate_semseg(
+            samples,
+            self.scheme,
+            ignore_label=self.dataset.ignore_mask,
+            shift_coords=self.augment_shift,
+            limit_numpoints=self.limit_numpoints,
+            rng=self.rng,
+            num_levels=self.num_levels,
+            conv0_kernel_size=self.conv0_kernel_size,
+        )
+
     def _produce(self):
+        import jax
+
         while not self._stop.is_set():
             try:
-                idxs = [next(self.sampler) for _ in range(self.batch_size)]
-                samples = list(self._pool.map(self.dataset.__getitem__, idxs))
-                batch = collate_semseg(
-                    samples,
-                    self.scheme,
-                    ignore_label=self.dataset.ignore_mask,
-                    shift_coords=self.augment_shift,
-                    limit_numpoints=self.limit_numpoints,
-                    rng=self.rng,
-                    num_levels=self.num_levels,
-                    conv0_kernel_size=self.conv0_kernel_size,
-                )
+                if self.num_device_batches == 1:
+                    batch = self._one_device_batch()
+                else:
+                    parts = [
+                        self._one_device_batch()
+                        for _ in range(self.num_device_batches)
+                    ]
+                    batch = jax.tree.map(lambda *xs: np.stack(xs), *parts)
             except Exception as e:
                 self._queue.put(e)
                 return

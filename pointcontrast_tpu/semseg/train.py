@@ -218,7 +218,29 @@ class SemsegTrainer:
                 batch_stats=payload["batch_stats"],
                 opt_state=payload["opt_state"],
             )
-            log.info("resumed from %s", ckpt)
+            self._load_best_score()
+            log.info("resumed from %s (best mIoU %.2f)", ckpt, self.best_miou)
+
+    def _save_best(self, step: int):
+        """Copy the current state into a pruning-exempt best/ subdirectory
+        with the mIoU recorded (the reference keeps a separate
+        best_val_checkpoint, lib/utils.py:78-114)."""
+        import json
+        import os
+
+        best_dir = os.path.join(self.config.checkpoint_dir, "best")
+        save_checkpoint(best_dir, step, self.state)
+        with open(os.path.join(best_dir, "best.json"), "w") as f:
+            json.dump({"step": step, "miou": self.best_miou}, f)
+
+    def _load_best_score(self):
+        import json
+        import os
+
+        path = os.path.join(self.config.checkpoint_dir, "best", "best.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                self.best_miou = json.load(f)["miou"]
 
     def train(self, num_iters: int | None = None, val_batches: int = 10):
         from pointcontrast_tpu.utils.metrics import MetricsLogger
@@ -232,6 +254,11 @@ class SemsegTrainer:
         writer = MetricsLogger(cfg.checkpoint_dir)
         from pointcontrast_tpu.utils.prefetch import device_prefetch
 
+        sharding = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            sharding = NamedSharding(self.mesh, PartitionSpec("data"))
         if cfg.iter_size > 1:
             # gradient accumulation: stack iter_size loader batches along a
             # leading scan axis (after the device axis when data-parallel)
@@ -246,9 +273,9 @@ class SemsegTrainer:
                         lambda *xs: np.stack(xs, axis=axis), *parts
                     )
 
-            feed = device_prefetch(stacked())
+            feed = device_prefetch(stacked(), sharding=sharding)
         else:
-            feed = device_prefetch(self.train_loader)
+            feed = device_prefetch(self.train_loader, sharding=sharding)
         while int(self.state.step) < target:
             t0 = time.perf_counter()
             if batch is None:
@@ -279,8 +306,8 @@ class SemsegTrainer:
                 writer.add_scalar("val/acc", acc, curr)
                 if miou > self.best_miou:
                     self.best_miou = miou
-                    save_checkpoint(cfg.checkpoint_dir, curr, self.state)
-            elif curr % cfg.save_freq == 0 or curr == target:
+                    self._save_best(curr)
+            if curr % cfg.save_freq == 0 or curr == target:
                 save_checkpoint(cfg.checkpoint_dir, curr, self.state)
         writer.close()
         return history

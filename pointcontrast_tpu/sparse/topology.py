@@ -219,7 +219,7 @@ def build_pyramid(
         nbr0 = None
         if lvl == 0 and (conv0_kernel_size != block_kernel_size or axis_types):
             ks0 = (
-                (conv0_kernel_size,) * int(sa.sum()) + (1,) * int((~sa).sum())
+                tuple(conv0_kernel_size if v else 1 for v in sa)
                 if stride_vec is not None else conv0_kernel_size
             )
             offs0 = kernel_offsets(ks0, dimension, "hypercube")

@@ -185,7 +185,12 @@ class PretrainTrainer:
         writer = MetricsLogger(cfg.checkpoint_dir)
         from pointcontrast_tpu.utils.prefetch import device_prefetch
 
-        feed = device_prefetch(self.loader)
+        sharding = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            sharding = NamedSharding(self.mesh, PartitionSpec("data"))
+        feed = device_prefetch(self.loader, sharding=sharding)
         while int(self.state.step) < target:
             t0 = time.perf_counter()
             if batch is None:
