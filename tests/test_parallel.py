@@ -120,3 +120,35 @@ class TestMeshTrainer:
         loader.close()
         assert len(history) == 3
         assert all(np.isfinite(m["loss"]) for _, m in history)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs >=2 devices")
+class TestSemsegMesh:
+    def test_semseg_trainer_on_mesh(self, tmp_path):
+        """SemsegTrainer with a 2-device mesh + stacking loader (the path the
+        semseg app takes when multiple devices are visible)."""
+        from pointcontrast_tpu.semseg.dataset import SemsegLoader
+        from pointcontrast_tpu.semseg.datasets.synthetic import (
+            SyntheticSemsegDataset,
+        )
+        from pointcontrast_tpu.semseg.train import SemsegConfig, SemsegTrainer
+
+        ds = SyntheticSemsegDataset(num_scenes=4, points=600, seed=0)
+        scheme = PadScheme(npad0=2048)
+        loader = SemsegLoader(
+            ds, batch_size=1, scheme=scheme, num_workers=1, seed=0,
+            num_device_batches=2,
+        )
+        model = TinyUNet(in_channels=3, out_channels=ds.num_classes)
+        cfg = SemsegConfig(
+            lr=0.1, max_iter=2, stat_freq=1, val_freq=100, save_freq=100,
+            checkpoint_dir=str(tmp_path),
+        )
+        trainer = SemsegTrainer(
+            model, loader, None, cfg, num_classes=ds.num_classes,
+            mesh=make_mesh(2),
+        )
+        history = trainer.train(2)
+        loader.close()
+        assert len(history) == 2
+        assert all(np.isfinite(m["loss"]) for _, m in history)
