@@ -53,6 +53,11 @@ class PadScheme:
     @property
     def npads(self) -> list[int]:
         if self.level_ratios is not None:
+            if len(self.level_ratios) < self.num_levels:
+                raise ValueError(
+                    f"level_ratios has {len(self.level_ratios)} entries but "
+                    f"num_levels={self.num_levels}"
+                )
             return [
                 max(int(self.npad0 * r) + 1, self.min_pad)
                 for r in self.level_ratios[: self.num_levels]
@@ -157,6 +162,11 @@ def sample_nce_pairs(
     k_idx = np.zeros(npos, dtype=np.int32)
     valid = np.zeros(npos, dtype=np.float32)
     if len(matches):
+        # run reconstruction below requires source-major ordering; sort
+        # defensively (in-repo matches are already lexsorted — cheap check)
+        src = matches[:, 0]
+        if np.any(src[1:] < src[:-1]):
+            matches = matches[np.argsort(src, kind="stable")]
         uniq, counts = np.unique(matches[:, 0], return_counts=True)
         starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
         off = np.floor(rng.rand(len(counts)) * counts).astype(np.int64)

@@ -54,6 +54,7 @@ def kernel_offsets(
         # x-fastest: iterate the last axis in the outer loop.
         combos = itertools.product(*reversed(per_axis))
         offs = np.array([tuple(reversed(c)) for c in combos], dtype=np.int32)
+        offs.flags.writeable = False  # lru_cache shares the array
         return offs
     if region == "hypercross":
         offs = [np.zeros(dimension, dtype=np.int32)]
@@ -64,7 +65,9 @@ def kernel_offsets(
                 v = np.zeros(dimension, dtype=np.int32)
                 v[d] = o
                 offs.append(v)
-        return np.stack(offs)
+        out = np.stack(offs)
+        out.flags.writeable = False  # lru_cache shares the array
+        return out
     if region == "hybrid":
         if axis_types is None:
             raise ValueError("hybrid region requires axis_types")
@@ -81,7 +84,9 @@ def kernel_offsets(
         offs = np.zeros((len(cross_part), len(cube_part), dimension), dtype=np.int32)
         offs[:, :, cube_axes] = cube_part[None, :, :]
         offs[:, :, cross_axes] = cross_part[:, None, :]
-        return offs.reshape(-1, dimension)
+        out = np.ascontiguousarray(offs.reshape(-1, dimension))
+        out.flags.writeable = False  # lru_cache shares the array
+        return out
     raise ValueError(f"unknown region type: {region}")
 
 

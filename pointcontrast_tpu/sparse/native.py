@@ -26,22 +26,33 @@ _SRC = os.path.join(
 
 
 def _build() -> str | None:
+    import platform
+
     cache = os.environ.get(
         "PC_TPU_NATIVE_DIR", os.path.expanduser("~/.cache/pointcontrast_tpu")
     )
     os.makedirs(cache, exist_ok=True)
-    so = os.path.join(cache, "kernel_maps.so")
+    # Machine-tagged name: home caches are often shared across hosts
+    # (NFS on multi-host pods); no -march=native so one artifact per ISA
+    # family is safe (the hash join is memory-bound, -O3 suffices).
+    so = os.path.join(cache, f"kernel_maps_{platform.machine()}.so")
     if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(_SRC):
         return so
+    # Unique temp per process: concurrent cold starts must not interleave
+    # writes into one .tmp (os.replace publishes atomically).
+    tmp = f"{so}.{os.getpid()}.tmp"
     cmd = [
-        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-        _SRC, "-o", so + ".tmp",
+        "g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", tmp,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        os.replace(so + ".tmp", so)
+        os.replace(tmp, so)
         return so
     except (subprocess.SubprocessError, OSError):
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return None
 
 
@@ -59,7 +70,21 @@ def get_lib():
         so = _build()
         if so is None:
             return None
-        lib = ctypes.CDLL(so)
+        try:
+            lib = ctypes.CDLL(so)
+        except OSError:
+            # corrupt artifact (e.g. from an old race): rebuild once fresh
+            try:
+                os.unlink(so)
+            except OSError:
+                return None
+            so = _build()
+            if so is None:
+                return None
+            try:
+                lib = ctypes.CDLL(so)
+            except OSError:
+                return None
         i64p = ctypes.POINTER(ctypes.c_int64)
         i32p = ctypes.POINTER(ctypes.c_int32)
         lib.pc_encode_keys.argtypes = [i32p, ctypes.c_int64, i64p, i64p, i64p]
@@ -95,7 +120,9 @@ def same_level_map(keys: np.ndarray, off_keys: np.ndarray, npad: int) -> np.ndar
 
 
 def downsample(coords: np.ndarray, lo: np.ndarray, stride: np.ndarray):
-    """Native variant of topology._downsample (without child offsets).
+    """Native variant of topology._downsample's unique/parent core (3D only:
+    the C side hardcodes 4 coordinate columns; child offsets stay numpy).
+    ``lo``/``stride`` must come from the HashSpec of the HALVED coords.
     Returns (coarse [nc, 4], parent [n])."""
     lib = get_lib()
     assert lib is not None

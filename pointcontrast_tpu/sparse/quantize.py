@@ -81,4 +81,4 @@ def sparse_quantize(
     if feats is not None:
         out = (ucoords, np.asarray(feats)[sel])
         return out + (sel,) if return_index else out
-    return (ucoords, sel) if return_index else ucoords
+    return ucoords  # bare-coords mode (return_index returned above)

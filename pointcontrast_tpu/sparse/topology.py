@@ -129,6 +129,15 @@ def _downsample(coords: np.ndarray, stride_axes: np.ndarray | None = None):
         halved = np.floor_divide(coords[:, 1:], 2)
         coarse_of_fine[:, 1:] = np.where(stride_axes[None, :], halved, coords[:, 1:])
     spec = HashSpec.from_coords(coarse_of_fine)
+
+    if stride_axes is None and coords.shape[1] == 4:
+        from pointcontrast_tpu.sparse import native
+
+        if native.get_lib() is not None:
+            coarse, parent = native.downsample(coords, spec.lo, spec.stride)
+            child_off = (coords[:, 1:] - 2 * coarse_of_fine[:, 1:]).astype(np.int32)
+            return coarse, parent, child_off
+
     keys = spec.encode(coarse_of_fine)
     sorted_keys, first_idx, inverse = np.unique(
         keys, return_index=True, return_inverse=True
