@@ -78,46 +78,43 @@ class ChromaticJitter:
 
 
 def rgb_to_hsv(rgb: np.ndarray) -> np.ndarray:
-    """Vectorized colorsys.rgb_to_hsv over [0,255] arrays (reference
-    lib/transforms.py:84-105)."""
-    rgb = rgb.astype("float")
-    hsv = np.zeros_like(rgb)
-    hsv[..., 3:] = rgb[..., 3:]
-    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
-    maxc = np.max(rgb[..., :3], axis=-1)
-    minc = np.min(rgb[..., :3], axis=-1)
-    hsv[..., 2] = maxc
-    mask = maxc != minc
-    hsv[mask, 1] = (maxc - minc)[mask] / maxc[mask]
-    rc = np.zeros_like(r)
-    gc = np.zeros_like(g)
-    bc = np.zeros_like(b)
-    span = np.where(mask, maxc - minc, 1.0)
-    rc[mask] = ((maxc - r) / span)[mask]
-    gc[mask] = ((maxc - g) / span)[mask]
-    bc[mask] = ((maxc - b) / span)[mask]
-    hsv[..., 0] = np.select(
-        [r == maxc, g == maxc], [bc - gc, 2.0 + rc - bc], default=4.0 + gc - rc
-    )
-    hsv[..., 0] = (hsv[..., 0] / 6.0) % 1.0
-    return hsv
+    """Vectorized colorsys-convention RGB([0,255]) -> HSV(h,s in [0,1], v in
+    [0,255]) conversion (behavioral equivalent of the reference's helper,
+    lib/transforms.py:84-105; the math is the standard hexcone formula).
+
+    Channels beyond the first three pass through unchanged."""
+    rgb = np.asarray(rgb, dtype=float)
+    out = rgb.copy()
+    c = rgb[..., :3]
+    v = c.max(axis=-1)
+    delta = v - c.min(axis=-1)
+    chromatic = delta != 0
+    safe_delta = np.where(chromatic, delta, 1.0)
+    # Dominant channel decides the hue sextant; argmax resolves ties in
+    # r-then-g order, exactly as colorsys's if/elif chain does.
+    dom = c.argmax(axis=-1)
+    r, g, b = c[..., 0], c[..., 1], c[..., 2]
+    frac = np.stack([g - b, b - r, r - g], axis=-1)
+    frac = np.take_along_axis(frac, dom[..., None], axis=-1)[..., 0] / safe_delta
+    hue = ((2.0 * dom + frac) / 6.0) % 1.0
+    out[..., 0] = np.where(chromatic, hue, 0.0)
+    out[..., 1] = np.where(chromatic, delta / np.where(v == 0, 1.0, v), 0.0)
+    out[..., 2] = v
+    return out
 
 
 def hsv_to_rgb(hsv: np.ndarray) -> np.ndarray:
-    rgb = np.empty_like(hsv)
-    rgb[..., 3:] = hsv[..., 3:]
+    """Inverse of :func:`rgb_to_hsv` via the branch-free hexcone identity
+    f(n) = v - v*s*clip(min(k, 4-k), 0, 1) with k = (n + 6h) mod 6
+    (r, g, b = f(5), f(3), f(1)); returns uint8 like the reference."""
+    hsv = np.asarray(hsv)
     h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
-    i = (h * 6.0).astype("uint8")
-    f = (h * 6.0) - i
-    p = v * (1.0 - s)
-    q = v * (1.0 - s * f)
-    t = v * (1.0 - s * (1.0 - f))
-    i = i % 6
-    conditions = [s == 0.0, i == 1, i == 2, i == 3, i == 4, i == 5]
-    rgb[..., 0] = np.select(conditions, [v, q, p, p, t, v], default=v)
-    rgb[..., 1] = np.select(conditions, [v, v, v, q, p, p], default=t)
-    rgb[..., 2] = np.select(conditions, [v, p, t, v, v, q], default=p)
-    return rgb.astype("uint8")
+    out = np.empty_like(hsv)
+    out[..., 3:] = hsv[..., 3:]
+    for channel, n in ((0, 5.0), (1, 3.0), (2, 1.0)):
+        k = np.mod(n + h * 6.0, 6.0)
+        out[..., channel] = v * (1.0 - s * np.clip(np.minimum(k, 4.0 - k), 0.0, 1.0))
+    return out.astype("uint8")
 
 
 class HueSaturationTranslation:
@@ -179,27 +176,29 @@ class ElasticDistortion:
 
     @staticmethod
     def elastic_distortion(coords, granularity, magnitude, rng=None):
+        """Displace coords by a smoothed random vector field.
+
+        The field lives on a coarse grid with cell size ``granularity``
+        covering the cloud's bounding box (one spare cell on each side), is
+        smoothed by two passes of a separable 3-tap box filter, and is
+        sampled at each point by trilinear interpolation; out-of-grid points
+        are left undisplaced."""
         r = _rng(rng)
-        blurx = np.ones((3, 1, 1, 1), dtype="float32") / 3
-        blury = np.ones((1, 3, 1, 1), dtype="float32") / 3
-        blurz = np.ones((1, 1, 3, 1), dtype="float32") / 3
-        coords_min = coords.min(0)
-        noise_dim = ((coords - coords_min).max(0) // granularity).astype(int) + 3
-        noise = r.randn(*noise_dim, 3).astype(np.float32)
+        lo = coords.min(0)
+        cells = ((coords.max(0) - lo) // granularity).astype(int) + 3
+        field = r.randn(*cells, 3).astype(np.float32)
         for _ in range(2):
-            noise = ndimage.convolve(noise, blurx, mode="constant", cval=0)
-            noise = ndimage.convolve(noise, blury, mode="constant", cval=0)
-            noise = ndimage.convolve(noise, blurz, mode="constant", cval=0)
-        ax = [
-            np.linspace(d_min, d_max, d)
-            for d_min, d_max, d in zip(
-                coords_min - granularity,
-                coords_min + granularity * (noise_dim - 2),
-                noise_dim,
-            )
+            for axis in range(3):
+                field = ndimage.uniform_filter1d(
+                    field, size=3, axis=axis, mode="constant"
+                )
+        grid_axes = [
+            lo[a] + granularity * (np.arange(cells[a]) - 1.0) for a in range(3)
         ]
-        interp = RegularGridInterpolator(ax, noise, bounds_error=False, fill_value=0)
-        return coords + interp(coords) * magnitude
+        sample = RegularGridInterpolator(
+            grid_axes, field, bounds_error=False, fill_value=0
+        )
+        return coords + sample(coords) * magnitude
 
     def __call__(self, coords, feats, labels, rng=None):
         r = _rng(rng)

@@ -71,6 +71,28 @@ class TestTransforms:
         back = t.hsv_to_rgb(t.rgb_to_hsv(rgb))
         assert np.abs(back.astype(float) - rgb).max() <= 2
 
+    def test_hsv_matches_colorsys(self):
+        """Pin both directions to the stdlib colorsys oracle, including the
+        achromatic and zero-value edge cases."""
+        import colorsys
+
+        rng = np.random.RandomState(4)
+        rgb = (rng.rand(64, 3) * 255).astype(np.uint8).astype(float)
+        rgb[0] = [0, 0, 0]
+        rgb[1] = [128, 128, 128]  # achromatic
+        rgb[2] = [255, 0, 0]
+        rgb[3] = [10, 10, 250]
+        hsv = t.rgb_to_hsv(rgb)
+        want = np.array([colorsys.rgb_to_hsv(*row) for row in rgb / 255.0])
+        np.testing.assert_allclose(hsv[:, 0], want[:, 0], atol=1e-6)
+        np.testing.assert_allclose(hsv[:, 1], want[:, 1], atol=1e-6)
+        np.testing.assert_allclose(hsv[:, 2] / 255.0, want[:, 2], atol=1e-6)
+        back = t.hsv_to_rgb(hsv).astype(float)
+        want_rgb = np.array(
+            [colorsys.hsv_to_rgb(h, s, v) for h, s, v in want]
+        ) * 255.0
+        assert np.abs(back - want_rgb).max() <= 1.0 + 1e-6
+
     def test_flip_keeps_upright(self):
         rng = np.random.RandomState(2)
         coords = rng.rand(100, 3) * 10
