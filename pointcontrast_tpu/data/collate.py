@@ -101,6 +101,10 @@ class PairBatch:
     cand1_valid: Optional[jnp_array] = None  # [H]
     collide0: Optional[jnp_array] = None  # [P, H] bool
     collide1: Optional[jnp_array] = None  # [P, H] bool
+    # scalar count of voxels dropped by graceful coarse-level truncation
+    # (topology.PyramidMeta.truncated); a pytree leaf so the jitted step can
+    # surface it in metrics without recompilation or host syncs
+    truncated_voxels: Optional[jnp_array] = None
     # host-side metadata (not traced)
     num_pairs: int = struct.field(pytree_node=False, default=0)
 
@@ -333,14 +337,14 @@ def collate_pair(
             if fuse_frames:
                 c1f = c1.copy()
                 c1f[:, 0] += nb  # frame-1 clouds as extra batch samples
-                pyr0, _ = _build_padded_pyramid(
+                pyr0, meta0 = _build_padded_pyramid(
                     np.concatenate([c0, c1f]), scheme, 2 * nb,
                     conv0_kernel_size,
                 )
-                pyr1 = None
+                pyr1, meta1 = None, None
             else:
-                pyr0, _ = _build_padded_pyramid(c0, scheme, nb, conv0_kernel_size)
-                pyr1, _ = _build_padded_pyramid(c1, scheme, nb, conv0_kernel_size)
+                pyr0, meta0 = _build_padded_pyramid(c0, scheme, nb, conv0_kernel_size)
+                pyr1, meta1 = _build_padded_pyramid(c1, scheme, nb, conv0_kernel_size)
         except ValueError:
             # deeper-level overflow: shrink level 0 and retry
             for frame_lists in ((coords0, feats0, 0), (coords1, feats1, 1)):
@@ -361,6 +365,9 @@ def collate_pair(
         )
 
     all_matches = _offset_matches(matches, len0, len1)
+    truncated = sum(n for _, n in meta0.truncated)
+    if meta1 is not None:
+        truncated += sum(n for _, n in meta1.truncated)
     if fuse_frames:
         batch = dict(
             feats0=_pad_feats(np.concatenate([f0, f1]), scheme.npads[0]),
@@ -392,4 +399,5 @@ def collate_pair(
         batch.update(hc)
     else:
         raise ValueError(f"unknown mode {mode!r}")
+    batch["truncated_voxels"] = np.asarray(truncated, np.float32)
     return PairBatch(**batch)

@@ -35,6 +35,9 @@ class SemsegBatch:
     feats: jnp_array  # [npad0, C], padded rows zero
     labels: jnp_array  # [npad0] int32, padding = ignore_label
     pyramid: Any
+    # scalar count of voxels dropped by graceful coarse-level truncation
+    # (topology.PyramidMeta.truncated); a leaf so the step can report it
+    truncated_voxels: Any = None
     num_samples: int = struct.field(pytree_node=False, default=0)
 
 
@@ -220,7 +223,7 @@ def collate_semseg(
     if normalize_color:
         feats = feats / 255.0 - 0.5
 
-    pyr, _meta = build_pyramid(
+    pyr, meta = build_pyramid(
         coords,
         num_levels=num_levels or scheme.num_levels,
         npads=scheme.npads,
@@ -232,7 +235,13 @@ def collate_semseg(
     fpad[: len(feats)] = feats
     lpad = np.full(npad0, ignore_label, np.int32)
     lpad[: len(labels)] = labels
-    return SemsegBatch(feats=fpad, labels=lpad, pyramid=pyr, num_samples=nb)
+    return SemsegBatch(
+        feats=fpad, labels=lpad, pyramid=pyr,
+        truncated_voxels=np.asarray(
+            sum(n for _, n in meta.truncated), np.float32
+        ),
+        num_samples=nb,
+    )
 
 
 class SemsegLoader:

@@ -82,7 +82,10 @@ def make_semseg_train_step(config: SemsegConfig):
                 jnp.where(valid, pred == batch.labels, False).sum()
                 / jnp.maximum(valid.sum(), 1)
             )
-            return loss, (mut["batch_stats"], {"loss": loss, "acc": acc})
+            metrics = {"loss": loss, "acc": acc}
+            if batch.truncated_voxels is not None:
+                metrics["truncated_voxels"] = batch.truncated_voxels
+            return loss, (mut["batch_stats"], metrics)
 
         (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         return grads, aux
@@ -101,6 +104,8 @@ def make_semseg_train_step(config: SemsegConfig):
 
             zeros_g = jax.tree.map(jnp.zeros_like, state.params)
             zeros_m = {"loss": jnp.zeros(()), "acc": jnp.zeros(())}
+            if batch.truncated_voxels is not None:
+                zeros_m["truncated_voxels"] = jnp.zeros(())
             (bs, grads, metrics), _ = jax.lax.scan(
                 body, (state.batch_stats, zeros_g, zeros_m), batch
             )
@@ -294,6 +299,12 @@ class SemsegTrainer:
                     "iter %d loss %.4f acc %.3f (data %.3fs step %.3fs)",
                     curr, m["loss"], m["acc"], data_meter.avg, step_timer.avg,
                 )
+                if m.get("truncated_voxels", 0) > 0:
+                    log.warning(
+                        "iter %d: pyramid truncation dropped %.0f voxels "
+                        "this batch — PadScheme level ratios too tight",
+                        curr, m["truncated_voxels"],
+                    )
             if self.val_loader is not None and (
                 curr % cfg.val_freq == 0 or curr == target
             ):

@@ -99,6 +99,8 @@ def make_train_step(config: PretrainConfig):
                 )
                 loss = pos_loss + neg_loss
                 metrics = {"loss": loss, "pos_loss": pos_loss, "neg_loss": neg_loss}
+            if batch.truncated_voxels is not None:
+                metrics["truncated_voxels"] = batch.truncated_voxels
             return loss, (mut1["batch_stats"], metrics)
 
         (_, (batch_stats, metrics)), grads = jax.value_and_grad(
@@ -212,6 +214,12 @@ class PretrainTrainer:
                     "iter %d loss %.4f (data %.3fs step %.3fs)",
                     curr, scalars["loss"], data_meter.avg, step_timer.avg,
                 )
+                if scalars.get("truncated_voxels", 0) > 0:
+                    log.warning(
+                        "iter %d: pyramid truncation dropped %.0f voxels "
+                        "this batch — PadScheme level ratios too tight",
+                        curr, scalars["truncated_voxels"],
+                    )
             else:
                 step_timer.toc()
             if curr % cfg.save_freq == 0 or curr == target:

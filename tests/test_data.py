@@ -132,6 +132,34 @@ class TestCollate:
         )
         assert int(batch.pyramid0.levels[0].valid.sum()) < 2048
 
+    def test_truncation_is_counted(self):
+        """Over-dense input at a too-tight coarse pad must surface a nonzero
+        truncated_voxels count instead of dropping voxels silently."""
+        ds = SyntheticPairDataset(num_pairs=1, points_per_frame=3000, seed=3)
+        # level-1+ pads far below the ~no-merge level-1 count of surface data
+        tight = PadScheme(npad0=8192, level_ratios=(1.0, 0.05, 0.02, 0.01, 0.01))
+        batch = collate_pair(
+            [ds[0]], tight, mode="nce", rng=np.random.RandomState(0)
+        )
+        assert float(batch.truncated_voxels) > 0
+
+    def test_scannet_scheme_fits_bench_density(self):
+        """PadScheme.scannet's level ratios must hold (zero truncation) at
+        the density they are tuned for: the bench config's room-like frames
+        (20k points at ScanNet-like extent, 4 fused pairs).  At other
+        densities the ratios are NOT guaranteed — truncated_voxels exists to
+        surface exactly that."""
+        ds = SyntheticPairDataset(num_pairs=4, points_per_frame=20000, seed=4)
+        scheme = PadScheme.scannet(npad0=131072)
+        batch = collate_pair(
+            [ds[i] for i in range(4)], scheme, mode="nce",
+            rng=np.random.RandomState(0), fuse_frames=True,
+        )
+        assert float(batch.truncated_voxels) == 0
+        counts = [int(l.valid.sum()) for l in batch.pyramid0.levels]
+        for lvl, (count, pad) in enumerate(zip(counts, scheme.npads)):
+            assert count < pad, f"level {lvl}: {count} >= pad {pad}"
+
 
 class TestSamplers:
     def test_inf_sampler_covers_epoch(self):
