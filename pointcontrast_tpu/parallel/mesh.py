@@ -56,7 +56,15 @@ def data_parallel_step(
     metrics over it; here it is wrapped in shard_map + jit with the state
     replicated and the batch split on its leading axis.
     """
-    from jax.experimental.shard_map import shard_map
+    # jax.shard_map is the supported API; fall back to the experimental
+    # module on older JAX (same semantics, check_vma was called check_rep).
+    try:
+        shard_map = jax.shard_map
+        rep_kw = {"check_vma": False}
+    except AttributeError:
+        from jax.experimental.shard_map import shard_map
+
+        rep_kw = {"check_rep": False}
 
     def per_device(state, batch):
         # strip the per-device leading axis of size 1
@@ -68,7 +76,7 @@ def data_parallel_step(
         mesh=mesh,
         in_specs=(P(), P(axis)),
         out_specs=(P(), P()),
-        check_rep=False,
+        **rep_kw,
     )
     donate = (0,) if donate_state else ()
     return jax.jit(sharded, donate_argnums=donate)
