@@ -25,6 +25,7 @@ from typing import Any, Optional
 import numpy as np
 from flax import struct
 
+from pointcontrast_tpu.sparse.brick import build_brick_pyramid
 from pointcontrast_tpu.sparse.topology import build_pyramid
 
 jnp_array = Any
@@ -52,30 +53,47 @@ class PadScheme:
 
     @property
     def npads(self) -> list[int]:
+        return self.npads_for(self.num_levels)
+
+    def npads_for(self, n_levels: int) -> list[int]:
+        """Padded sizes for ``n_levels`` levels (the brick layout needs
+        ``num_levels + 1``: level l's bricks are level l+1's coordinates).
+        Levels beyond the configured ratios extrapolate with the last
+        observed shrink factor."""
         if self.level_ratios is not None:
             if len(self.level_ratios) < self.num_levels:
                 raise ValueError(
                     f"level_ratios has {len(self.level_ratios)} entries but "
                     f"num_levels={self.num_levels}"
                 )
+            ratios = list(self.level_ratios[:n_levels])
+            while len(ratios) < n_levels:
+                shrink = ratios[-1] / ratios[-2] if ratios[-2] else 0.5
+                ratios.append(ratios[-1] * min(shrink, 1.0))
             return [
-                max(int(self.npad0 * r) + 1, self.min_pad)
-                for r in self.level_ratios[: self.num_levels]
+                max(int(self.npad0 * r) + 1, self.min_pad) for r in ratios
             ]
         # Level 1 keeps the level-0 budget: at fine voxel sizes the first
         # downsample can merge almost nothing (isolated surface voxels), so
         # shrinking starts at level 2.
         return [
             max(int(self.npad0 / self.shrink ** max(lvl - 1, 0)) + 1, self.min_pad)
-            for lvl in range(self.num_levels)
+            for lvl in range(n_levels)
         ]
 
     @staticmethod
     def scannet(npad0: int, num_levels: int = 5) -> "PadScheme":
-        """Tight pads for ScanNet-density scenes (2-2.5cm voxels)."""
+        """Tight pads for ScanNet-density scenes (2-2.5cm voxels).
+
+        Ratios are measured on saturated surface scans (every surface voxel
+        in view occupied, like real depth-frame unprojections and merged
+        scene meshes): level counts shrink ~(1, 0.29, 0.073, 0.019, 0.005)
+        per stride; entries carry ~30-40% headroom on top.  Data sparser
+        than that (sub-voxel-density point samples) merges less per stride
+        -- use an explicit ``level_ratios`` for such inputs."""
         return PadScheme(
             npad0, num_levels,
-            level_ratios=(1.0, 0.8, 0.35, 0.11, 0.04),
+            level_ratios=(1.0, 0.38, 0.105, 0.03, 0.011, 0.004),
         )
 
 
@@ -137,6 +155,27 @@ def _pad_feats(feats: np.ndarray, npad: int) -> np.ndarray:
     return out
 
 
+def _brick_feats(feats: np.ndarray, rows: np.ndarray, orphan: np.ndarray,
+                 nrows: int) -> np.ndarray:
+    """Scatter voxel features to their brick-layout rows (orphans dropped so
+    the zero-row invariant holds for every absent voxel)."""
+    out = np.zeros((nrows, feats.shape[1]), dtype=np.float32)
+    keep = ~orphan
+    out[rows[keep]] = feats[keep]
+    return out
+
+
+def _remap_idx(idx, valid, rows: np.ndarray, orphan: np.ndarray):
+    """Map loss indices from voxel ids to brick rows; entries pointing at
+    orphaned (truncation-dropped) voxels are invalidated."""
+    idx = np.asarray(idx, dtype=np.int64)
+    ok = ~orphan[idx]
+    out = rows[idx].astype(np.int32)
+    out[~ok] = 0
+    v = ok.astype(np.float32) if valid is None else (valid * ok).astype(np.float32)
+    return out, v
+
+
 def _subsample_frame(coords, feats, keep_n, rng):
     """Random voxel subset preserving order (overflow safety valve)."""
     sel = np.sort(rng.choice(len(coords), keep_n, replace=False))
@@ -146,14 +185,26 @@ def _subsample_frame(coords, feats, keep_n, rng):
 
 
 def _build_padded_pyramid(coords, scheme: PadScheme, num_batch: int,
-                          conv0_kernel_size: int = 3):
-    return build_pyramid(
+                          conv0_kernel_size: int = 3, layout: str = "voxel"):
+    """Returns (pyramid, meta, rows, orphan); rows/orphan are None for the
+    flat voxel layout and the brick-row mapping for layout='brick'."""
+    if layout == "brick":
+        pyr, meta, rows, orphan = build_brick_pyramid(
+            coords,
+            num_levels=scheme.num_levels,
+            npads=scheme.npads_for(scheme.num_levels + 1),
+            num_batch=num_batch,
+            conv0_kernel_size=conv0_kernel_size,
+        )
+        return pyr, meta, rows, orphan
+    pyr, meta = build_pyramid(
         coords,
         num_levels=scheme.num_levels,
         npads=scheme.npads,
         num_batch=num_batch,
         conv0_kernel_size=conv0_kernel_size,
     )
+    return pyr, meta, None, None
 
 
 def sample_nce_pairs(
@@ -282,11 +333,17 @@ def collate_pair(
     max_fit_attempts: int = 6,
     fuse_frames: bool = False,
     conv0_kernel_size: int = 3,
+    layout: str = "voxel",
 ) -> PairBatch:
     """Collate ``__getitem__`` tuples into one static-shaped ``PairBatch``.
 
     mode: 'nce' (PointInfoNCE sampling) or 'hardest' (positives +
     hard-negative candidates + collision bitmaps).
+
+    layout: 'voxel' (flat [npad0, C] rows) or 'brick' (2^D micro-dense rows,
+    sparse.brick) -- features land at brick rows and all loss indices are
+    remapped; voxels orphaned by coarse-level truncation are dropped from
+    the loss with their count added to ``truncated_voxels``.
 
     fuse_frames: treat frame 1's clouds as additional sparse-batch samples
     (batch ids B..2B-1) and build ONE pyramid over all 2B frames.  The
@@ -337,14 +394,16 @@ def collate_pair(
             if fuse_frames:
                 c1f = c1.copy()
                 c1f[:, 0] += nb  # frame-1 clouds as extra batch samples
-                pyr0, meta0 = _build_padded_pyramid(
+                pyr0, meta0, rows0, orph0 = _build_padded_pyramid(
                     np.concatenate([c0, c1f]), scheme, 2 * nb,
-                    conv0_kernel_size,
+                    conv0_kernel_size, layout,
                 )
-                pyr1, meta1 = None, None
+                pyr1, meta1, rows1, orph1 = None, None, None, None
             else:
-                pyr0, meta0 = _build_padded_pyramid(c0, scheme, nb, conv0_kernel_size)
-                pyr1, meta1 = _build_padded_pyramid(c1, scheme, nb, conv0_kernel_size)
+                pyr0, meta0, rows0, orph0 = _build_padded_pyramid(
+                    c0, scheme, nb, conv0_kernel_size, layout)
+                pyr1, meta1, rows1, orph1 = _build_padded_pyramid(
+                    c1, scheme, nb, conv0_kernel_size, layout)
         except ValueError:
             # deeper-level overflow: shrink level 0 and retry
             for frame_lists in ((coords0, feats0, 0), (coords1, feats1, 1)):
@@ -368,27 +427,42 @@ def collate_pair(
     truncated = sum(n for _, n in meta0.truncated)
     if meta1 is not None:
         truncated += sum(n for _, n in meta1.truncated)
+    if layout == "brick":
+        truncated += int(orph0.sum()) + (int(orph1.sum()) if orph1 is not None else 0)
+
+    def frame_feats(feats, pyr, rows, orphan):
+        if layout == "brick":
+            return _brick_feats(feats, rows, orphan, pyr.levels[0].valid.shape[0])
+        return _pad_feats(feats, scheme.npads[0])
+
     if fuse_frames:
         batch = dict(
-            feats0=_pad_feats(np.concatenate([f0, f1]), scheme.npads[0]),
+            feats0=frame_feats(np.concatenate([f0, f1]), pyr0, rows0, orph0),
             feats1=None,
             pyramid0=pyr0,
             pyramid1=None,
             num_pairs=nb,
         )
         off1 = len(c0)  # frame-1 rows start here in the combined table
+        rows_f1, orph_f1 = rows0, orph0
     else:
         batch = dict(
-            feats0=_pad_feats(f0, scheme.npads[0]),
-            feats1=_pad_feats(f1, scheme.npads[0]),
+            feats0=frame_feats(f0, pyr0, rows0, orph0),
+            feats1=frame_feats(f1, pyr1, rows1, orph1),
             pyramid0=pyr0,
             pyramid1=pyr1,
             num_pairs=nb,
         )
         off1 = 0
+        rows_f1, orph_f1 = rows1, orph1
     if mode == "nce":
         q, k, v = sample_nce_pairs(all_matches, npos, rng)
-        batch.update(q_idx=q, k_idx=k + off1, pair_valid=v)
+        if layout == "brick":
+            q, v = _remap_idx(q, v, rows0, orph0)
+            k, v = _remap_idx(k + off1, v, rows_f1, orph_f1)
+            batch.update(q_idx=q, k_idx=k, pair_valid=v)
+        else:
+            batch.update(q_idx=q, k_idx=k + off1, pair_valid=v)
     elif mode == "hardest":
         hc = sample_hardest_contrastive(
             all_matches, len(c0), len(c1), num_pos, num_hn, rng
@@ -396,6 +470,14 @@ def collate_pair(
         if off1:
             hc["pos1_idx"] = hc["pos1_idx"] + off1
             hc["cand1_idx"] = hc["cand1_idx"] + off1
+        if layout == "brick":
+            hc["pos0_idx"], v = _remap_idx(hc["pos0_idx"], hc["pos_valid"], rows0, orph0)
+            hc["pos1_idx"], hc["pos_valid"] = _remap_idx(
+                hc["pos1_idx"], v, rows_f1, orph_f1)
+            hc["cand0_idx"], hc["cand0_valid"] = _remap_idx(
+                hc["cand0_idx"], hc["cand0_valid"], rows0, orph0)
+            hc["cand1_idx"], hc["cand1_valid"] = _remap_idx(
+                hc["cand1_idx"], hc["cand1_valid"], rows_f1, orph_f1)
         batch.update(hc)
     else:
         raise ValueError(f"unknown mode {mode!r}")

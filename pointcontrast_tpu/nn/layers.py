@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from pointcontrast_tpu.sparse import ops
+from pointcontrast_tpu.sparse import brick, ops
 
 
 def kernel_init(key, shape, dtype=jnp.float32):
@@ -54,13 +54,16 @@ class SparseConv(nn.Module):
         )
         b = self.param("bias", nn.initializers.zeros, (self.out_channels,)) if self.use_bias else None
         w = w.astype(self.dtype)
-        return ops.sparse_conv(
-            features.astype(self.dtype),
-            nbr,
-            w,
-            bias=None if b is None else b.astype(self.dtype),
-            valid_out=valid_out,
-        )
+        b = None if b is None else b.astype(self.dtype)
+        f = features.astype(self.dtype)
+        # The map object decides the layout: same weights, same semantics.
+        if isinstance(nbr, brick.BrickMap):
+            return brick.brick_conv(f, nbr.nbr, w, nbr.plan, bias=b,
+                                    valid_out=valid_out)
+        if isinstance(nbr, brick.BrickDownMap):
+            return brick.brick_down_conv(f, nbr.place, w, bias=b,
+                                         valid_out=valid_out)
+        return ops.sparse_conv(f, nbr, w, bias=b, valid_out=valid_out)
 
 
 class SparseConvTranspose(nn.Module):
@@ -78,6 +81,14 @@ class SparseConvTranspose(nn.Module):
             "kernel", kernel_init, (self.kernel_volume, cin, self.out_channels)
         )
         b = self.param("bias", nn.initializers.zeros, (self.out_channels,)) if self.use_bias else None
+        if up_offset is None:  # brick layout: up_parent is the flat up-gather
+            return brick.brick_up_conv(
+                features.astype(self.dtype),
+                up_parent,
+                w.astype(self.dtype),
+                bias=None if b is None else b.astype(self.dtype),
+                valid_out=valid_out,
+            )
         return ops.sparse_conv_transpose(
             features.astype(self.dtype),
             up_parent,

@@ -169,6 +169,7 @@ def build_pyramid(
     build_down3: bool = False,
     axis_types: tuple | None = None,
     stride_axes: tuple | None = None,
+    first_nbr_level: int = 0,
 ):
     """Build the full coordinate pyramid for a sparse U-Net.
 
@@ -188,6 +189,9 @@ def build_pyramid(
         (4D spatio-temporal nets: cube over space, cross over time).
       stride_axes: per-spatial-axis bool, False = not downsampled
         (ST nets stride (2,2,2,1)).
+      first_nbr_level: skip building same-level kernel maps for levels below
+        this index (brick layout reads level l's conv geometry from level
+        l+1's map, so level 0's -- the largest -- is never needed).
 
     Returns:
       (Pyramid, PyramidMeta)
@@ -219,7 +223,10 @@ def build_pyramid(
         if npad <= n:
             raise ValueError(f"level {lvl}: npad {npad} must exceed count {n}")
 
-        nbr = _same_level_map(cur, offs3, npad, dimension)
+        nbr = (
+            _same_level_map(cur, offs3, npad, dimension)
+            if lvl >= first_nbr_level else None
+        )
         valid = np.zeros(npad, dtype=np.float32)
         valid[:n] = 1.0
         batch = np.full(npad, num_batch, dtype=np.int32)

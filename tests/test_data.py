@@ -145,20 +145,25 @@ class TestCollate:
 
     def test_scannet_scheme_fits_bench_density(self):
         """PadScheme.scannet's level ratios must hold (zero truncation) at
-        the density they are tuned for: the bench config's room-like frames
-        (20k points at ScanNet-like extent, 4 fused pairs).  At other
-        densities the ratios are NOT guaranteed — truncated_voxels exists to
-        surface exactly that."""
-        ds = SyntheticPairDataset(num_pairs=4, points_per_frame=20000, seed=4)
+        the density they are tuned for: saturated surface scans (every
+        surface voxel in view occupied, like real depth-frame unprojections
+        — the bench generator config).  At sparser sub-voxel sampling the
+        per-stride merge is weaker and the ratios are NOT guaranteed —
+        truncated_voxels exists to surface exactly that."""
+        ds = SyntheticPairDataset(
+            num_pairs=4, points_per_frame=45000, room_size=1.75, seed=4)
+        samples = [ds[i] for i in range(4)]
         scheme = PadScheme.scannet(npad0=131072)
-        batch = collate_pair(
-            [ds[i] for i in range(4)], scheme, mode="nce",
-            rng=np.random.RandomState(0), fuse_frames=True,
-        )
-        assert float(batch.truncated_voxels) == 0
+        for layout in ("voxel", "brick"):
+            batch = collate_pair(
+                samples, scheme, mode="nce",
+                rng=np.random.RandomState(0), fuse_frames=True, layout=layout,
+            )
+            assert float(batch.truncated_voxels) == 0, layout
         counts = [int(l.valid.sum()) for l in batch.pyramid0.levels]
-        for lvl, (count, pad) in enumerate(zip(counts, scheme.npads)):
-            assert count < pad, f"level {lvl}: {count} >= pad {pad}"
+        npads = scheme.npads_for(scheme.num_levels + 1)
+        for lvl, (count, pad) in enumerate(zip(counts, npads[1:])):
+            assert count < pad * 8, f"brick level {lvl}: {count} >= {pad * 8}"
 
 
 class TestSamplers:
