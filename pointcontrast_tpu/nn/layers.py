@@ -58,8 +58,14 @@ class SparseConv(nn.Module):
         f = features.astype(self.dtype)
         # The map object decides the layout: same weights, same semantics.
         if isinstance(nbr, brick.BrickMap):
-            return brick.brick_conv(f, nbr.nbr, w, nbr.plan, bias=b,
-                                    valid_out=valid_out)
+            # Remat: without it autodiff saves every per-neighbor gathered
+            # brick-row tensor (27 x [NB, 2^D*C] per conv) as residuals and
+            # the backward OOMs at ScanNet scale; replaying the gathers is
+            # bandwidth-cheap next to holding them.
+            conv = jax.checkpoint(
+                lambda f_, n_, w_, b_, v_: brick.brick_conv(
+                    f_, n_, w_, nbr.plan, bias=b_, valid_out=v_))
+            return conv(f, nbr.nbr, w, b, valid_out)
         if isinstance(nbr, brick.BrickDownMap):
             return brick.brick_down_conv(f, nbr.place, w, bias=b,
                                          valid_out=valid_out)

@@ -114,3 +114,51 @@ def convert_state_dict(sd: Mapping[str, np.ndarray]):
 def convert_checkpoint(pth_path: str):
     """.pth -> (params, batch_stats, unmatched names)."""
     return convert_state_dict(load_torch_state_dict(pth_path))
+
+
+def export_state_dict(params, batch_stats) -> dict:
+    """Inverse of ``convert_state_dict``: our Res16UNet-family param /
+    batch-stats trees -> a reference-naming torch-style state dict (numpy
+    values).  Lets reference users round-trip checkpoints both ways and
+    backs the end-to-end parity-check test with a fabricated .pth."""
+    import jax
+
+    sd: dict = {}
+
+    def emit(tree, is_stats: bool):
+        for kp, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+            keys = [str(getattr(k, "key", k)) for k in kp]
+            name = _export_name(keys, is_stats)
+            if name is None:
+                raise ValueError(f"no reference name for leaf {keys}")
+            sd[name] = np.asarray(leaf)
+
+    emit(params, False)
+    emit(batch_stats, True)
+    return sd
+
+
+def _export_name(keys: list[str], is_stats: bool):
+    bn_field = (
+        {"mean": "running_mean", "var": "running_var"}
+        if is_stats else {"scale": "weight", "bias": "bias"}
+    )
+    if keys[0].startswith(("conv", "convtr")) and keys[-1] == "kernel":
+        return f"{keys[0]}.kernel"
+    if keys[0].startswith("bn"):
+        return f"{keys[0]}.bn.{bn_field[keys[-1]]}"
+    if keys[0] == "final":
+        return f"final.{keys[-1]}"
+    if re.match(r"block\d+_\d+", keys[0]):
+        stage, idx = keys[0].rsplit("_", 1)
+        sub = keys[1]
+        if sub.startswith("SparseConv_"):
+            return f"{stage}.{idx}.conv{int(sub.split('_')[1]) + 1}.kernel"
+        if sub.startswith("MaskedBatchNorm_"):
+            j = int(sub.split("_")[1]) + 1
+            return f"{stage}.{idx}.norm{j}.bn.{bn_field[keys[-1]]}"
+        if sub == "downsample_conv":
+            return f"{stage}.{idx}.downsample.0.kernel"
+        if sub == "downsample_norm":
+            return f"{stage}.{idx}.downsample.1.bn.{bn_field[keys[-1]]}"
+    return None

@@ -198,3 +198,52 @@ class TestTorchConverter:
             keys = [str(getattr(k, "key", k)) for k in kp]
             if keys == ["conv0p1s1", "kernel"]:
                 np.testing.assert_allclose(leaf, sd[name0])
+
+
+class TestParityCheckEndToEnd:
+    def test_cli_on_fabricated_checkpoint(self, tmp_path, capsys):
+        """Full parity harness on a fabricated reference-naming .pth:
+        convert -> overlay -> forward; the L2-normalized head must produce
+        unit feature norms (any layout/order slip shows up as skipped leaves
+        or non-finite output)."""
+        import torch
+
+        from pointcontrast_tpu.data import PadScheme, SyntheticPairDataset, collate_pair
+        from pointcontrast_tpu.nn.registry import load_model
+        from pointcontrast_tpu.tools import parity_check
+        from pointcontrast_tpu.tools.convert_torch import export_state_dict
+
+        model = load_model("Res16UNet34C")(in_channels=3, out_channels=32)
+        ds = SyntheticPairDataset(num_pairs=1, points_per_frame=400, seed=0)
+        batch = collate_pair(
+            [ds[0]], PadScheme(npad0=1024), mode="nce", npos=32,
+            rng=np.random.RandomState(0),
+        )
+        variables = jax.jit(
+            lambda r, f, p: model.init(r, f, p, train=False)
+        )(jax.random.PRNGKey(0), batch.feats0, batch.pyramid0)
+
+        # fabricate: random-but-sane values in the reference naming scheme
+        rng = np.random.RandomState(2)
+        params = jax.tree.map(
+            lambda x: rng.randn(*x.shape).astype(np.float32) * 0.05,
+            jax.device_get(variables["params"]))
+        stats = jax.tree_util.tree_map_with_path(
+            lambda kp, x: (np.abs(rng.randn(*x.shape)) + 0.5).astype(np.float32)
+            if str(getattr(kp[-1], "key", "")) == "var"
+            else rng.randn(*x.shape).astype(np.float32) * 0.05,
+            jax.device_get(variables["batch_stats"]))
+        sd = export_state_dict(params, stats)
+        pth = tmp_path / "fabricated.pth"
+        torch.save({"state_dict": {f"module.{k}": torch.from_numpy(v)
+                                   for k, v in sd.items()}}, pth)
+
+        assert parity_check.main([str(pth)]) == 0
+        out = capsys.readouterr().out
+        assert "unmatched torch entries: 0" in out
+        assert "0 skipped" in out
+        assert "finite=True" in out
+        import re as _re
+
+        m = _re.search(r"feature-norm mean ([0-9.]+)", out)
+        assert m and abs(float(m.group(1)) - 1.0) < 1e-3
