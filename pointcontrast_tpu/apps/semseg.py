@@ -78,6 +78,7 @@ def main(argv: list[str] | None = None):
         level_ratios=tuple(cfg.data.pad_ratios) if cfg.data.get("pad_ratios") else None,
     )
     ndb = num_devices if mesh is not None else 1
+    layout = cfg.data.get("layout", "voxel")
     train_loader = SemsegLoader(
         train_ds, cfg.data.batch_size, scheme,
         augment_shift=cfg.augmentation.shift_coords,
@@ -85,12 +86,7 @@ def main(argv: list[str] | None = None):
         num_workers=cfg.data.num_workers,
         conv0_kernel_size=cfg.net.conv1_kernel_size,
         num_device_batches=ndb,
-    )
-    # validation runs single-device (the eval step is a plain jit)
-    val_loader = SemsegLoader(
-        val_ds, cfg.data.batch_size, scheme, shuffle=False,
-        num_workers=cfg.data.num_workers,
-        conv0_kernel_size=cfg.net.conv1_kernel_size,
+        layout=layout,
     )
 
     model = load_model(cfg.net.model)(
@@ -125,16 +121,18 @@ def main(argv: list[str] | None = None):
         save_freq=cfg.train.save_freq,
         checkpoint_dir=os.path.join(cfg.train.out_dir, "weights"),
     )
+    # whole-split validation (single-device eval step), reference semantics
     trainer = SemsegTrainer(
-        model, train_loader, val_loader, tcfg,
+        model, train_loader, None, tcfg,
         num_classes=train_ds.num_classes, pretrained_params=pretrained,
-        mesh=mesh,
+        mesh=mesh, val_dataset=val_ds, val_scheme=scheme,
+        val_batch_size=cfg.data.batch_size,
+        conv0_kernel_size=cfg.net.conv1_kernel_size, layout=layout,
     )
     try:
         history = trainer.train()
     finally:
         train_loader.close()
-        val_loader.close()
     return history
 
 

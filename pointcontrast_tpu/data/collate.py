@@ -184,17 +184,30 @@ def _subsample_frame(coords, feats, keep_n, rng):
     return coords[sel], feats[sel], remap
 
 
+def parse_layout(layout: str):
+    """'voxel' | 'brick' (default 2 brick levels) | 'brick:N' -> (kind, N)."""
+    if layout == "voxel":
+        return "voxel", 0
+    if layout != "voxel":
+        return "brick", 2
+    if layout.startswith("brick:"):
+        return "brick", int(layout.split(":", 1)[1])
+    raise ValueError(f"unknown layout {layout!r}")
+
+
 def _build_padded_pyramid(coords, scheme: PadScheme, num_batch: int,
                           conv0_kernel_size: int = 3, layout: str = "voxel"):
     """Returns (pyramid, meta, rows, orphan); rows/orphan are None for the
-    flat voxel layout and the brick-row mapping for layout='brick'."""
-    if layout == "brick":
+    flat voxel layout and the brick-row mapping for layout='brick[:N]'."""
+    kind, brick_levels = parse_layout(layout)
+    if kind == "brick":
         pyr, meta, rows, orphan = build_brick_pyramid(
             coords,
             num_levels=scheme.num_levels,
             npads=scheme.npads_for(scheme.num_levels + 1),
             num_batch=num_batch,
             conv0_kernel_size=conv0_kernel_size,
+            brick_levels=brick_levels,
         )
         return pyr, meta, rows, orphan
     pyr, meta = build_pyramid(
@@ -427,11 +440,11 @@ def collate_pair(
     truncated = sum(n for _, n in meta0.truncated)
     if meta1 is not None:
         truncated += sum(n for _, n in meta1.truncated)
-    if layout == "brick":
+    if layout != "voxel":
         truncated += int(orph0.sum()) + (int(orph1.sum()) if orph1 is not None else 0)
 
     def frame_feats(feats, pyr, rows, orphan):
-        if layout == "brick":
+        if layout != "voxel":
             return _brick_feats(feats, rows, orphan, pyr.levels[0].valid.shape[0])
         return _pad_feats(feats, scheme.npads[0])
 
@@ -457,7 +470,7 @@ def collate_pair(
         rows_f1, orph_f1 = rows1, orph1
     if mode == "nce":
         q, k, v = sample_nce_pairs(all_matches, npos, rng)
-        if layout == "brick":
+        if layout != "voxel":
             q, v = _remap_idx(q, v, rows0, orph0)
             k, v = _remap_idx(k + off1, v, rows_f1, orph_f1)
             batch.update(q_idx=q, k_idx=k, pair_valid=v)
@@ -470,7 +483,7 @@ def collate_pair(
         if off1:
             hc["pos1_idx"] = hc["pos1_idx"] + off1
             hc["cand1_idx"] = hc["cand1_idx"] + off1
-        if layout == "brick":
+        if layout != "voxel":
             hc["pos0_idx"], v = _remap_idx(hc["pos0_idx"], hc["pos_valid"], rows0, orph0)
             hc["pos1_idx"], hc["pos_valid"] = _remap_idx(
                 hc["pos1_idx"], v, rows_f1, orph_f1)

@@ -184,6 +184,7 @@ def collate_semseg(
     rng: np.random.RandomState | None = None,
     num_levels: int | None = None,
     conv0_kernel_size: int = 3,
+    layout: str = "voxel",
 ) -> SemsegBatch:
     """Concatenate + pad to static shapes and build the pyramid.
 
@@ -223,9 +224,32 @@ def collate_semseg(
     if normalize_color:
         feats = feats / 255.0 - 0.5
 
+    n_levels = num_levels or scheme.num_levels
+    if layout != "voxel":
+        from pointcontrast_tpu.sparse.brick import build_brick_pyramid
+
+        pyr, meta, rows, orphan = build_brick_pyramid(
+            coords,
+            num_levels=n_levels,
+            npads=scheme.npads_for(n_levels + 1),
+            num_batch=nb,
+            conv0_kernel_size=conv0_kernel_size,
+        )
+        nrows = pyr.levels[0].valid.shape[0]
+        keep = ~orphan
+        fpad = np.zeros((nrows, feats.shape[1]), np.float32)
+        fpad[rows[keep]] = feats[keep]
+        lpad = np.full(nrows, ignore_label, np.int32)
+        lpad[rows[keep]] = labels[keep]
+        truncated = sum(n for _, n in meta.truncated) + int(orphan.sum())
+        return SemsegBatch(
+            feats=fpad, labels=lpad, pyramid=pyr,
+            truncated_voxels=np.asarray(truncated, np.float32),
+            num_samples=nb,
+        )
     pyr, meta = build_pyramid(
         coords,
-        num_levels=num_levels or scheme.num_levels,
+        num_levels=n_levels,
         npads=scheme.npads,
         num_batch=nb,
         conv0_kernel_size=conv0_kernel_size,
@@ -263,9 +287,11 @@ class SemsegLoader:
         num_levels: int | None = None,
         conv0_kernel_size: int = 3,
         num_device_batches: int = 1,
+        layout: str = "voxel",
     ):
         """num_device_batches > 1 stacks that many per-device batches on a
         leading axis (the data-parallel mesh axis), like PairLoader."""
+        self.layout = layout
         self.dataset = dataset
         self.batch_size = batch_size
         self.scheme = scheme
@@ -305,6 +331,7 @@ class SemsegLoader:
             rng=self.rng,
             num_levels=self.num_levels,
             conv0_kernel_size=self.conv0_kernel_size,
+            layout=self.layout,
         )
 
     def _produce(self):

@@ -133,11 +133,23 @@ def make_eval_step():
     return step
 
 
+def _accumulate(hist, correct, total, pred, labels, ignore_label, num_classes):
+    mask = labels != ignore_label
+    hist += fast_hist(pred[mask], labels[mask], num_classes)
+    return correct + (pred[mask] == labels[mask]).sum(), total + mask.sum()
+
+
+def _finish(hist, correct, total):
+    ious = per_class_iu(hist) * 100
+    return float(np.nanmean(ious)), ious, 100.0 * correct / max(total, 1)
+
+
 def evaluate(state, loader, num_classes: int, num_batches: int,
              ignore_label: int = 255, eval_step=None):
-    """Validation pass -> (mIoU %, per-class IoU, accuracy %).
-
-    Mirrors lib/test.py:62-197 (fast_hist accumulation + per_class_iu)."""
+    """Sampled validation pass -> (mIoU %, per-class IoU, accuracy %): a
+    fixed number of batches from an (infinite) loader.  For best-model
+    tracking prefer ``evaluate_dataset`` — the reference validates the whole
+    split (lib/train.py:200-207)."""
     eval_step = eval_step or jax.jit(make_eval_step())
     hist = np.zeros((num_classes, num_classes))
     correct = total = 0
@@ -145,14 +157,48 @@ def evaluate(state, loader, num_classes: int, num_batches: int,
         batch = next(loader)
         pred, _prob = jax.device_get(eval_step(state, batch))
         labels = np.asarray(batch.labels)
-        mask = labels != ignore_label
-        hist += fast_hist(pred[mask], labels[mask], num_classes)
-        correct += (pred[mask] == labels[mask]).sum()
-        total += mask.sum()
-    ious = per_class_iu(hist) * 100
-    miou = float(np.nanmean(ious))
-    acc = 100.0 * correct / max(total, 1)
-    return miou, ious, acc
+        correct, total = _accumulate(
+            hist, correct, total, pred, labels, ignore_label, num_classes)
+    return _finish(hist, correct, total)
+
+
+def evaluate_dataset(state, dataset, scheme, num_classes: int,
+                     batch_size: int = 1, ignore_label: int = 255,
+                     eval_step=None, num_levels=None, conv0_kernel_size=3,
+                     layout: str = "voxel"):
+    """Whole-split validation: every scene of ``dataset`` exactly once, in
+    order, with deterministic (index-seeded) per-scene rng and no train-time
+    augmentation — the reference's validate() semantics
+    (downstream/semseg/lib/train.py:200-207, lib/test.py:95).
+
+    Returns (mIoU %, per-class IoU, acc %, scenes_evaluated).  When a batch
+    exceeds the PadScheme budget the collator keeps a prefix; the remainder
+    is re-collated so no scene is silently skipped."""
+    from pointcontrast_tpu.semseg.dataset import collate_semseg
+
+    eval_step = eval_step or jax.jit(make_eval_step())
+    hist = np.zeros((num_classes, num_classes))
+    correct = total = scenes = 0
+    pending = list(range(len(dataset)))
+    while pending:
+        take = pending[:batch_size]
+        samples = [
+            dataset.__getitem__(i, rng=np.random.RandomState(i)) for i in take
+        ]
+        batch = collate_semseg(
+            samples, scheme, ignore_label=ignore_label, shift_coords=False,
+            rng=np.random.RandomState(0), num_levels=num_levels,
+            conv0_kernel_size=conv0_kernel_size, layout=layout,
+        )
+        consumed = batch.num_samples
+        pending = pending[consumed:]
+        scenes += consumed
+        pred, _prob = jax.device_get(eval_step(state, batch))
+        labels = np.asarray(batch.labels)
+        correct, total = _accumulate(
+            hist, correct, total, pred, labels, ignore_label, num_classes)
+    miou, ious, acc = _finish(hist, correct, total)
+    return miou, ious, acc, scenes
 
 
 class SemsegTrainer:
@@ -166,10 +212,24 @@ class SemsegTrainer:
         pretrained_params=None,
         mesh=None,
         rng=None,
+        val_dataset=None,
+        val_scheme=None,
+        val_batch_size: int = 1,
+        conv0_kernel_size: int = 3,
+        layout: str = "voxel",
     ):
+        """Validation source: pass ``val_dataset`` (+ ``val_scheme``) for
+        whole-split validation each val_freq (the reference's semantics,
+        lib/train.py:200-207); ``val_loader`` keeps the sampled-batches mode
+        for quick runs."""
         self.config = config
         self.train_loader = train_loader
         self.val_loader = val_loader
+        self.val_dataset = val_dataset
+        self.val_scheme = val_scheme
+        self.val_batch_size = val_batch_size
+        self.conv0_kernel_size = conv0_kernel_size
+        self.layout = layout
         self.num_classes = num_classes
         self.mesh = mesh
         schedule = optim.make_scheduler(config.scheduler, config)
@@ -305,13 +365,23 @@ class SemsegTrainer:
                         "this batch — PadScheme level ratios too tight",
                         curr, m["truncated_voxels"],
                     )
-            if self.val_loader is not None and (
+            if (self.val_dataset is not None or self.val_loader is not None) and (
                 curr % cfg.val_freq == 0 or curr == target
             ):
-                miou, ious, acc = evaluate(
-                    self.state, self.val_loader, self.num_classes, val_batches,
-                    cfg.ignore_label, self._eval_step,
-                )
+                if self.val_dataset is not None:
+                    miou, ious, acc, scenes = evaluate_dataset(
+                        self.state, self.val_dataset, self.val_scheme,
+                        self.num_classes, self.val_batch_size,
+                        cfg.ignore_label, self._eval_step,
+                        conv0_kernel_size=self.conv0_kernel_size,
+                        layout=self.layout,
+                    )
+                    log.info("val iter %d: full split (%d scenes)", curr, scenes)
+                else:
+                    miou, ious, acc = evaluate(
+                        self.state, self.val_loader, self.num_classes,
+                        val_batches, cfg.ignore_label, self._eval_step,
+                    )
                 log.info("val iter %d mIoU %.2f acc %.2f", curr, miou, acc)
                 writer.add_scalar("val/miou", miou, curr)
                 writer.add_scalar("val/acc", acc, curr)

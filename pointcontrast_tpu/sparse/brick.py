@@ -149,52 +149,65 @@ class BrickMap:
 @struct.dataclass
 class BrickDownMap:
     """Stride-2 k=2 down-conv geometry: where each conv output (a coarse
-    voxel) sits in the *next* level's brick layout."""
+    voxel) sits in the *next* level's brick layout.  ``place=None`` marks a
+    brick->voxel boundary: the matmul's output rows ARE the next level's
+    flat voxel rows, so no placement is needed at all."""
 
-    place: Any  # [2^D, NB_next] = down_nbr of level l+1
+    place: Any  # [2^D, NB_next] = down_nbr of level l+1, or None at boundary
+    num_slots: int = struct.field(pytree_node=False, default=8)
 
     @property
     def shape(self):
-        return (self.place.shape[0],)
+        return (self.num_slots,)
 
 
 def build_brick_pyramid(
     coords: np.ndarray,
     num_levels: int,
-    npads: list,  # num_levels + 1 entries (the extra one sizes the top bricks)
+    npads: list,  # >= num_levels (+1 when every level is bricked)
     num_batch: int,
     dimension: int = 3,
     conv0_kernel_size: int = 3,
     allow_truncate: bool = True,
+    brick_levels: int | None = None,
 ):
-    """Build a brick-layout pyramid: ``num_levels`` brick levels backed by a
-    ``num_levels + 1``-deep coordinate pyramid (level l's bricks ARE level
-    l+1's coordinates, so every gather map is read one level up).
+    """Build a hybrid pyramid: the finest ``brick_levels`` levels in brick
+    layout (level l's bricks ARE level l+1's coordinates, so their gather
+    maps are read one level up), the rest flat.  The layout transition is
+    free in both directions: a brick down conv's matmul output already IS
+    the flat next level, and a flat coarse level is already brick-indexed
+    for the transpose conv.
 
-    Returns (Pyramid-of-brick-LevelTopos, PyramidMeta, rows0, orphan0):
-      rows0[v]: brick-layout row of input voxel v (scatter features there);
+    Brick layout pays an occupancy-bound FLOP inflation (2^D / avg brick
+    occupancy) to amortize gather-row overhead, which wins at fine levels
+    (small C, huge N) and loses at deep ones (C >= 128, tiny N) -- hence the
+    hybrid default of 2 brick levels.
+
+    Returns (Pyramid, PyramidMeta, rows0, orphan0):
+      rows0[v]: level-0 row of input voxel v (scatter features there);
       orphan0[v]: True when coarse-level truncation dropped v's brick (such
       voxels have no row; callers must drop them and count the loss).
 
-    The per-level LevelTopo fields are reinterpreted (same model code paths):
+    Brick-level LevelTopo fields are reinterpreted (same model code paths):
       nbr/nbr0 -> BrickMap, down_nbr -> BrickDownMap,
       up_parent -> flat up-gather row ids, up_offset -> None,
       valid/batch -> slot-resolution [NB*2^D] arrays.
     """
     from pointcontrast_tpu.sparse.topology import LevelTopo, Pyramid, build_pyramid
 
-    if len(npads) < num_levels + 1:
-        raise ValueError(
-            f"brick pyramid needs {num_levels + 1} npads, got {len(npads)}"
-        )
+    bl = num_levels if brick_levels is None else max(0, min(brick_levels, num_levels))
+    depth = num_levels + 1 if bl >= num_levels else num_levels
+    if len(npads) < depth:
+        raise ValueError(f"hybrid pyramid needs {depth} npads, got {len(npads)}")
     base, meta = build_pyramid(
         coords,
-        num_levels=num_levels + 1,
+        num_levels=depth,
         dimension=dimension,
-        npads=list(npads),
+        npads=list(npads[:depth]),
         num_batch=num_batch,
+        conv0_kernel_size=conv0_kernel_size,
         allow_truncate=allow_truncate,
-        first_nbr_level=1,
+        first_nbr_level=1 if bl >= 1 else 0,
     )
     lv = base.levels
     ns = 1 << dimension
@@ -205,19 +218,21 @@ def build_brick_pyramid(
     )
     levels = []
     for l in range(num_levels):
-        nb = lv[l + 1].valid.shape[0]
+        if l >= bl:  # flat levels pass through unchanged
+            levels.append(lv[l])
+            continue
         pad_l = lv[l].valid.shape[0] - 1
         valid = (lv[l].down_nbr != pad_l).T.astype(np.float32).reshape(-1)
         batch = np.repeat(lv[l + 1].batch, ns).astype(np.int32)
         batch = np.where(valid > 0, batch, num_batch).astype(np.int32)
-        down = (
-            BrickDownMap(lv[l + 1].down_nbr)
-            if lv[l + 1].down_nbr is not None else None
+        next_is_brick = (l + 1) < bl
+        down = BrickDownMap(
+            lv[l + 1].down_nbr if next_is_brick else None, num_slots=ns
         )
         upg = (
             (lv[l + 1].up_parent.astype(np.int64) * ns + lv[l + 1].up_offset)
             .astype(np.int32)
-            if lv[l + 1].up_parent is not None else None
+            if next_is_brick else None
         )
         levels.append(
             LevelTopo(
@@ -230,11 +245,16 @@ def build_brick_pyramid(
                 nbr0=BrickMap(lv[l + 1].nbr, plan0) if l == 0 and plan0 else None,
             )
         )
-    n0 = meta.counts[0]
-    parent = lv[0].up_parent[:n0].astype(np.int64)
-    orphan0 = parent == (lv[1].valid.shape[0] - 1)
-    rows0 = (parent * ns + lv[0].up_offset[:n0]).astype(np.int64)
-    rows0[orphan0] = 0  # callers must mask these via orphan0
+    if bl >= 1:
+        n0 = meta.counts[0]
+        parent = lv[0].up_parent[:n0].astype(np.int64)
+        orphan0 = parent == (lv[1].valid.shape[0] - 1)
+        rows0 = (parent * ns + lv[0].up_offset[:n0]).astype(np.int64)
+        rows0[orphan0] = 0  # callers must mask these via orphan0
+    else:
+        n0 = meta.counts[0]
+        rows0 = np.arange(n0, dtype=np.int64)
+        orphan0 = np.zeros(n0, dtype=bool)
     return Pyramid(levels=tuple(levels), num_batch=num_batch), meta, rows0, orphan0
 
 
@@ -310,19 +330,23 @@ def brick_down_conv(
 ) -> jnp.ndarray:
     """Stride-2 k=2 conv: slots ARE the kernel offsets, so the conv itself is
     one dense matmul; the gather only re-lays the outputs (level-(l+1)
-    voxels) into level-(l+1)'s own brick layout."""
-    ns, nb_next = place.shape
-    cin = features.shape[-1]
-    cout = weights.shape[-1]
+    voxels) into level-(l+1)'s own brick layout.  With ``place=None`` the
+    matmul result is returned directly as flat voxel rows (hybrid-pyramid
+    boundary: the coarser level runs in the flat layout)."""
+    ns, cin, cout = weights.shape
     nb = features.shape[0] // ns
     y = jnp.dot(
         features.reshape(nb, ns * cin),
         weights.reshape(ns * cin, cout),
         preferred_element_type=jnp.float32,
     )  # [nb = npad_{l+1}, cout], row v = conv output at level-(l+1) voxel v
-    out = jnp.take(y, place.reshape(-1), axis=0)  # slot-major [ns*nb_next, cout]
-    out = out.reshape(ns, nb_next, cout).transpose(1, 0, 2)
-    out = out.reshape(nb_next * ns, cout).astype(features.dtype)
+    if place is None:
+        out = y.astype(features.dtype)
+    else:
+        nb_next = place.shape[1]
+        out = jnp.take(y, place.reshape(-1), axis=0)  # slot-major
+        out = out.reshape(ns, nb_next, cout).transpose(1, 0, 2)
+        out = out.reshape(nb_next * ns, cout).astype(features.dtype)
     if bias is not None:
         out = out + bias
     if valid_out is not None:
@@ -339,10 +363,15 @@ def brick_up_conv(
 ) -> jnp.ndarray:
     """Stride-2 k=2 transpose conv onto the reused finer level: a fine brick's
     id IS its coarse parent voxel, and a fine voxel's slot IS its kernel
-    offset, so this is one gather + one [NB, Cin] @ [Cin, 2^D*Cout] matmul."""
+    offset, so this is one gather + one [NB, Cin] @ [Cin, 2^D*Cout] matmul.
+    With ``up_gather=None`` (hybrid boundary: the coarse level is flat) the
+    gather is the identity -- coarse voxel rows are already brick-indexed."""
     ns, cin, cout = weights.shape
-    nb = up_gather.shape[0]
-    g = jnp.take(features, up_gather, axis=0)  # [NB_l, cin]
+    if up_gather is None:
+        g = features  # flat coarse rows: row b IS fine brick b's parent
+    else:
+        g = jnp.take(features, up_gather, axis=0)  # [NB_l, cin]
+    nb = g.shape[0]
     w = jnp.transpose(weights, (1, 0, 2)).reshape(cin, ns * cout)
     out = jnp.dot(g, w, preferred_element_type=jnp.float32)
     out = out.reshape(nb * ns, cout).astype(features.dtype)

@@ -139,8 +139,6 @@ class TestBrickModel:
         kw = dict(mode="nce", npos=128, fuse_frames=True)
         sample = ds[0]  # one draw: the dataset's rng advances per access
         bv = collate_pair([sample], scheme, rng=np.random.RandomState(7), **kw)
-        bb = collate_pair([sample], scheme, rng=np.random.RandomState(7),
-                          layout="brick", **kw)
 
         model = load_model("Res16UNet14A")(in_channels=3, out_channels=16,
                                            normalize_feature=True)
@@ -148,16 +146,20 @@ class TestBrickModel:
             jax.random.PRNGKey(0), bv.feats0, bv.pyramid0, train=False)
         out_v = jax.jit(model.apply, static_argnames=("train",))(
             params, bv.feats0, bv.pyramid0, train=False)
-        out_b = jax.jit(model.apply, static_argnames=("train",))(
-            params, bb.feats0, bb.pyramid0, train=False)
-
-        # compare at the loss sampling sites (valid anchors exist in both)
-        assert float(np.sum(bv.pair_valid)) > 0
-        assert np.allclose(bv.pair_valid, bb.pair_valid)
         qv = np.asarray(out_v)[np.asarray(bv.q_idx)]
-        qb = np.asarray(out_b)[np.asarray(bb.q_idx)]
-        sel = np.asarray(bv.pair_valid) > 0
-        np.testing.assert_allclose(qb[sel], qv[sel], rtol=5e-4, atol=5e-4)
+        assert float(np.sum(bv.pair_valid)) > 0
+
+        # hybrid boundaries at every depth, same params
+        for layout in ("brick:1", "brick:2", "brick:3", "brick:5"):
+            bb = collate_pair([sample], scheme, rng=np.random.RandomState(7),
+                              layout=layout, **kw)
+            out_b = jax.jit(model.apply, static_argnames=("train",))(
+                params, bb.feats0, bb.pyramid0, train=False)
+            assert np.allclose(bv.pair_valid, bb.pair_valid), layout
+            qb = np.asarray(out_b)[np.asarray(bb.q_idx)]
+            sel = np.asarray(bv.pair_valid) > 0
+            np.testing.assert_allclose(qb[sel], qv[sel], rtol=5e-4, atol=5e-4,
+                                       err_msg=layout)
 
     def test_brick_train_step_runs(self):
         """One jitted NCE training step in brick layout decreases over steps

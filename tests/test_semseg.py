@@ -191,3 +191,71 @@ class TestSemsegEndToEnd:
         assert all(np.isfinite(l) for l in losses)
         assert losses[-1] < losses[0]
         assert trainer.best_miou > 0  # validation ran and produced a score
+
+    def test_full_split_validation(self, tmp_path):
+        """evaluate_dataset visits every val scene exactly once and is
+        deterministic (VERDICT r1 item 6: whole-split best-mIoU tracking)."""
+        from pointcontrast_tpu.nn.res16unet import Res16UNetBase
+        from pointcontrast_tpu.nn.resnet_block import BasicBlock
+        from pointcontrast_tpu.semseg.train import evaluate_dataset
+        from pointcontrast_tpu.train import optim
+        from pointcontrast_tpu.train.state import create_train_state
+
+        class TinyUNet(Res16UNetBase):
+            BLOCK = BasicBlock
+            LAYERS = (1, 1, 1, 1, 1, 1, 1, 1)
+            PLANES = (4, 8, 16, 32, 32, 16, 8, 8)
+            INIT_DIM = 4
+
+        val_ds = SyntheticSemsegDataset(num_scenes=5, points=1200, seed=1)
+        scheme = PadScheme(npad0=2048)  # 2 scenes never fit: forces re-collate
+        model = TinyUNet(in_channels=3, out_channels=val_ds.num_classes)
+        cfg = SemsegConfig(lr=0.1)
+        tx = optim.make_optimizer("sgd", cfg.lr, optim.make_scheduler("polylr", cfg), cfg)
+        sample = collate_semseg(
+            [val_ds.__getitem__(0, rng=np.random.RandomState(0))], scheme,
+            ignore_label=cfg.ignore_label, rng=np.random.RandomState(0))
+        state = create_train_state(
+            jax.random.PRNGKey(0), model, tx, (sample.feats, sample.pyramid))
+        out1 = evaluate_dataset(
+            state, val_ds, scheme, val_ds.num_classes, batch_size=2,
+            ignore_label=cfg.ignore_label)
+        out2 = evaluate_dataset(
+            state, val_ds, scheme, val_ds.num_classes, batch_size=2,
+            ignore_label=cfg.ignore_label)
+        assert out1[3] == len(val_ds)  # every scene exactly once
+        assert out1[0] == out2[0] and out1[2] == out2[2]  # deterministic
+
+    def test_finetune_slice_brick(self, tmp_path):
+        """Brick-layout semseg finetune: loss decreases, full-split val."""
+        from pointcontrast_tpu.nn.res16unet import Res16UNetBase
+        from pointcontrast_tpu.nn.resnet_block import BasicBlock
+
+        class TinyUNet(Res16UNetBase):
+            BLOCK = BasicBlock
+            LAYERS = (1, 1, 1, 1, 1, 1, 1, 1)
+            PLANES = (4, 8, 16, 32, 32, 16, 8, 8)
+            INIT_DIM = 4
+
+        ds = SyntheticSemsegDataset(num_scenes=4, points=1500, seed=0)
+        val_ds = SyntheticSemsegDataset(num_scenes=2, points=1500, seed=1)
+        scheme = PadScheme(npad0=4096)
+        train_loader = SemsegLoader(
+            ds, batch_size=1, scheme=scheme, augment_shift=True,
+            num_workers=1, seed=0, layout="brick",
+        )
+        model = TinyUNet(in_channels=3, out_channels=ds.num_classes)
+        cfg = SemsegConfig(
+            lr=0.3, max_iter=8, stat_freq=2, val_freq=8, save_freq=100,
+            checkpoint_dir=str(tmp_path),
+        )
+        trainer = SemsegTrainer(
+            model, train_loader, None, cfg, num_classes=ds.num_classes,
+            val_dataset=val_ds, val_scheme=scheme, layout="brick",
+        )
+        history = trainer.train(8)
+        train_loader.close()
+        losses = [m["loss"] for _, m in history]
+        assert all(np.isfinite(l) for l in losses)
+        assert losses[-1] < losses[0]
+        assert trainer.best_miou > 0
