@@ -79,6 +79,22 @@ def main(argv: list[str] | None = None):
     )
     ndb = num_devices if mesh is not None else 1
     layout = cfg.data.get("layout", "voxel")
+    # CRF wrapper (reference net.wrapper_type, config/default.yaml:9-12 +
+    # models/wrapper.py:12-35): collators build the bilateral-grid map,
+    # the model is wrapped with the mean-field filter.
+    wrapper_type = cfg.net.get("wrapper_type", "") or ""
+    crf_cfg = None
+    if wrapper_type:
+        region = {0: "hypercube", 1: "hypercross"}[
+            int(cfg.net.get("wrapper_region_type", 1))]
+        crf_cfg = dict(
+            kernel_size=int(cfg.net.get("wrapper_kernel_size", 3)),
+            region=region,
+            spatial_sigma=float(cfg.net.get("wrapper_spatial_sigma", 1.0)),
+            chromatic_sigma=float(cfg.net.get("wrapper_chromatic_sigma", 12.0)),
+        )
+        if layout != "voxel":
+            raise ValueError("wrapper_type requires data.layout=voxel")
     train_loader = SemsegLoader(
         train_ds, cfg.data.batch_size, scheme,
         augment_shift=cfg.augmentation.shift_coords,
@@ -87,6 +103,7 @@ def main(argv: list[str] | None = None):
         conv0_kernel_size=cfg.net.conv1_kernel_size,
         num_device_batches=ndb,
         layout=layout,
+        crf=crf_cfg,
     )
 
     model = load_model(cfg.net.model)(
@@ -95,6 +112,20 @@ def main(argv: list[str] | None = None):
         conv1_kernel_size=cfg.net.conv1_kernel_size,
         bn_momentum=cfg.optimizer.bn_momentum,
     )
+    if wrapper_type:
+        from pointcontrast_tpu.semseg.crf import BilateralCRF, TrilateralCRF
+        from pointcontrast_tpu.sparse.kernel_map import kernel_offsets
+
+        wrapper_cls = {
+            "BilateralCRF": BilateralCRF, "TrilateralCRF": TrilateralCRF,
+        }[wrapper_type]
+        grid_dim = 6 if wrapper_type == "BilateralCRF" else 7
+        kv = len(kernel_offsets(
+            crf_cfg["kernel_size"], grid_dim, crf_cfg["region"]))
+        model = wrapper_cls(
+            net=model, nchannels=train_ds.num_classes, kernel_volume=kv,
+            meanfield_iterations=int(cfg.net.get("wrapper_iterations", 10)),
+        )
 
     pretrained = None
     if cfg.net.weights:
@@ -120,6 +151,7 @@ def main(argv: list[str] | None = None):
         val_freq=cfg.train.val_freq,
         save_freq=cfg.train.save_freq,
         checkpoint_dir=os.path.join(cfg.train.out_dir, "weights"),
+        wrapper_lr=float(cfg.net.get("wrapper_lr", 0) or 0) or None,
     )
     # whole-split validation (single-device eval step), reference semantics
     trainer = SemsegTrainer(
@@ -128,6 +160,7 @@ def main(argv: list[str] | None = None):
         mesh=mesh, val_dataset=val_ds, val_scheme=scheme,
         val_batch_size=cfg.data.batch_size,
         conv0_kernel_size=cfg.net.conv1_kernel_size, layout=layout,
+        crf=crf_cfg,
     )
     try:
         history = trainer.train()

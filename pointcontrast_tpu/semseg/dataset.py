@@ -38,6 +38,9 @@ class SemsegBatch:
     # scalar count of voxels dropped by graceful coarse-level truncation
     # (topology.PyramidMeta.truncated); a leaf so the step can report it
     truncated_voxels: Any = None
+    # [K, npad0] bilateral-grid neighbor map when a CRF wrapper is active
+    # (reference wrapper.py:31: the filter's coords are built per batch)
+    crf_nbr: Any = None
     num_samples: int = struct.field(pytree_node=False, default=0)
 
 
@@ -185,8 +188,14 @@ def collate_semseg(
     num_levels: int | None = None,
     conv0_kernel_size: int = 3,
     layout: str = "voxel",
+    crf: dict | None = None,
 ) -> SemsegBatch:
     """Concatenate + pad to static shapes and build the pyramid.
+
+    crf: when set (keys: kernel_size, region, spatial_sigma,
+    chromatic_sigma), also build the bilateral-grid neighbor map for a CRF
+    wrapper from the batch's coords + raw colors (reference
+    models/wrapper.py:31 builds the filter coords per forward).
 
     shift_coords: the reference train loop adds a random [0,100) translation
     to all coords each iteration for grid-parity invariance (train.py:110);
@@ -221,6 +230,20 @@ def collate_semseg(
     labels = np.concatenate(labels_l).astype(np.int32)
     if shift_coords:
         coords[:, 1:] += rng.randint(0, 100, 3, dtype=np.int32)
+    crf_nbr = None
+    if crf is not None:
+        if layout != "voxel":
+            raise ValueError("CRF wrapper requires the flat voxel layout")
+        from pointcontrast_tpu.semseg.crf import build_bilateral_map
+
+        # raw colors: first 3 feature channels BEFORE normalization
+        crf_nbr = build_bilateral_map(
+            coords, feats[:, :3], scheme.npads[0],
+            spatial_sigma=crf.get("spatial_sigma", 1.0),
+            chromatic_sigma=crf.get("chromatic_sigma", 12.0),
+            kernel_size=crf.get("kernel_size", 3),
+            region=crf.get("region", "hypercross"),
+        )
     if normalize_color:
         feats = feats / 255.0 - 0.5
 
@@ -264,6 +287,7 @@ def collate_semseg(
         truncated_voxels=np.asarray(
             sum(n for _, n in meta.truncated), np.float32
         ),
+        crf_nbr=crf_nbr,
         num_samples=nb,
     )
 
@@ -288,10 +312,12 @@ class SemsegLoader:
         conv0_kernel_size: int = 3,
         num_device_batches: int = 1,
         layout: str = "voxel",
+        crf: dict | None = None,
     ):
         """num_device_batches > 1 stacks that many per-device batches on a
         leading axis (the data-parallel mesh axis), like PairLoader."""
         self.layout = layout
+        self.crf = crf
         self.dataset = dataset
         self.batch_size = batch_size
         self.scheme = scheme
@@ -332,6 +358,7 @@ class SemsegLoader:
             num_levels=self.num_levels,
             conv0_kernel_size=self.conv0_kernel_size,
             layout=self.layout,
+            crf=self.crf,
         )
 
     def _produce(self):

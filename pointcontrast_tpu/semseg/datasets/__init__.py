@@ -2,7 +2,7 @@
 /root/reference/downstream/semseg/lib/datasets/__init__.py:10-33)."""
 from __future__ import annotations
 
-from pointcontrast_tpu.semseg.datasets import scannet, stanford
+from pointcontrast_tpu.semseg.datasets import scannet, stanford, synthetic
 
 DATASETS: list = []
 
@@ -17,6 +17,7 @@ def _add(module):
 
 _add(scannet)
 _add(stanford)
+_add(synthetic)
 
 
 def load_dataset(name: str):

@@ -22,11 +22,17 @@ class SyntheticSemsegDataset(VoxelizationDataset):
         (-np.pi / 64, np.pi / 64), (-np.pi / 64, np.pi / 64), (-np.pi, np.pi)
     )
 
-    def __init__(self, num_scenes: int = 8, points: int = 4000,
-                 room: float = 3.0, scene_seed: int = 77, **kwargs):
+    def __init__(self, path: str | None = None, phase: str = "train",
+                 num_scenes: int = 8, points: int = 4000,
+                 room: float = 3.0, scene_seed: int | None = None, **kwargs):
+        """(path, phase) mirror the registry datasets' signature so the
+        semseg app can drive this one from config (path is ignored; phase
+        selects a disjoint scene pool)."""
         self.num_scenes = num_scenes
         self.points = points
         self.room = room
+        if scene_seed is None:
+            scene_seed = {"train": 77, "val": 7700, "test": 770000}.get(phase, 77)
         self.scene_seed = scene_seed
         super().__init__(data_paths=[f"scene{i}" for i in range(num_scenes)], **kwargs)
 

@@ -58,21 +58,37 @@ class SemsegConfig:
     val_freq: int = 1000
     save_freq: int = 1000
     checkpoint_dir: str = "weights_semseg"
+    # CRF wrapper filter LR ratio (reference config/default.yaml:12
+    # wrapper_lr — declared there for the filter param group); None = base lr
+    wrapper_lr: float | None = None
 
 
-def make_semseg_train_step(config: SemsegConfig):
+def make_semseg_train_step(config: SemsegConfig, wrapper: bool = False,
+                           apply_filter: bool = True):
     """One optimizer step. With ``iter_size > 1`` the batch arrives stacked
     [iter_size, ...] and gradients are accumulated over a ``lax.scan`` of
     forwards before one update, loss scaled by 1/iter_size — the reference's
-    inner accumulation loop (lib/train.py:96-157)."""
+    inner accumulation loop (lib/train.py:96-157).
+
+    wrapper: the model is a CRF Wrapper taking (feats, pyramid, crf_nbr);
+    apply_filter toggles the mean-field filter (the reference skips it with
+    p=0.5 during training, models/wrapper.py:29-31 — callers flip between
+    the two compiled variants)."""
 
     def grads_of(params, batch_stats, batch, apply_fn):
         def loss_fn(params):
             variables = {"params": params, "batch_stats": batch_stats}
-            logits, mut = apply_fn(
-                variables, batch.feats, batch.pyramid, train=True,
-                mutable=["batch_stats"],
-            )
+            if wrapper:
+                logits, mut = apply_fn(
+                    variables, batch.feats, batch.pyramid, batch.crf_nbr,
+                    train=True, apply_filter=apply_filter,
+                    mutable=["batch_stats"],
+                )
+            else:
+                logits, mut = apply_fn(
+                    variables, batch.feats, batch.pyramid, train=True,
+                    mutable=["batch_stats"],
+                )
             loss = cross_entropy_ignore(
                 logits, batch.labels, ignore_label=config.ignore_label
             )
@@ -124,10 +140,16 @@ def make_semseg_train_step(config: SemsegConfig):
     return step
 
 
-def make_eval_step():
+def make_eval_step(wrapper: bool = False):
     def step(state: TrainState, batch: SemsegBatch):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
-        logits = state.apply_fn(variables, batch.feats, batch.pyramid, train=False)
+        if wrapper:  # eval always applies the filter (wrapper.py:29)
+            logits = state.apply_fn(
+                variables, batch.feats, batch.pyramid, batch.crf_nbr,
+                train=False)
+        else:
+            logits = state.apply_fn(
+                variables, batch.feats, batch.pyramid, train=False)
         return jnp.argmax(logits, axis=-1), jax.nn.softmax(logits, axis=-1)
 
     return step
@@ -165,7 +187,7 @@ def evaluate(state, loader, num_classes: int, num_batches: int,
 def evaluate_dataset(state, dataset, scheme, num_classes: int,
                      batch_size: int = 1, ignore_label: int = 255,
                      eval_step=None, num_levels=None, conv0_kernel_size=3,
-                     layout: str = "voxel"):
+                     layout: str = "voxel", crf: dict | None = None):
     """Whole-split validation: every scene of ``dataset`` exactly once, in
     order, with deterministic (index-seeded) per-scene rng and no train-time
     augmentation — the reference's validate() semantics
@@ -188,7 +210,7 @@ def evaluate_dataset(state, dataset, scheme, num_classes: int,
         batch = collate_semseg(
             samples, scheme, ignore_label=ignore_label, shift_coords=False,
             rng=np.random.RandomState(0), num_levels=num_levels,
-            conv0_kernel_size=conv0_kernel_size, layout=layout,
+            conv0_kernel_size=conv0_kernel_size, layout=layout, crf=crf,
         )
         consumed = batch.num_samples
         pending = pending[consumed:]
@@ -217,6 +239,7 @@ class SemsegTrainer:
         val_batch_size: int = 1,
         conv0_kernel_size: int = 3,
         layout: str = "voxel",
+        crf: dict | None = None,
     ):
         """Validation source: pass ``val_dataset`` (+ ``val_scheme``) for
         whole-split validation each val_freq (the reference's semantics,
@@ -230,10 +253,16 @@ class SemsegTrainer:
         self.val_batch_size = val_batch_size
         self.conv0_kernel_size = conv0_kernel_size
         self.layout = layout
+        self.crf = crf
         self.num_classes = num_classes
         self.mesh = mesh
         schedule = optim.make_scheduler(config.scheduler, config)
-        tx = optim.make_optimizer(config.optimizer, config.lr, schedule, config)
+        lr_scales = (
+            {"filter": config.wrapper_lr / config.lr}
+            if crf is not None and config.wrapper_lr else None
+        )
+        tx = optim.make_optimizer(config.optimizer, config.lr, schedule,
+                                  config, param_lr_scales=lr_scales)
         rng = rng if rng is not None else jax.random.PRNGKey(0)
 
         example = next(iter(train_loader))
@@ -242,7 +271,14 @@ class SemsegTrainer:
             if mesh is not None
             else example
         )
-        self.state = create_train_state(rng, model, tx, (local.feats, local.pyramid))
+        wrapper = crf is not None
+        if wrapper and local.crf_nbr is None:
+            raise ValueError("CRF wrapper needs a loader collating crf maps")
+        inputs = (
+            (local.feats, local.pyramid, local.crf_nbr)
+            if wrapper else (local.feats, local.pyramid)
+        )
+        self.state = create_train_state(rng, model, tx, inputs)
         self._first_batch = example
 
         if pretrained_params is not None:
@@ -255,16 +291,25 @@ class SemsegTrainer:
                 len(loaded), len(skipped), skipped[:4],
             )
 
-        step = make_semseg_train_step(config)
-        if mesh is not None:
-            from pointcontrast_tpu.parallel.mesh import data_parallel_step
+        def finalize(step):
+            if mesh is not None:
+                from pointcontrast_tpu.parallel.mesh import data_parallel_step
 
-            self._step = data_parallel_step(step, mesh)
-        else:
-            self._step = jax.jit(
+                return data_parallel_step(step, mesh)
+            return jax.jit(
                 lambda s, b: step(s, b, axis_name=None), donate_argnums=0
             )
-        self._eval_step = jax.jit(make_eval_step())
+
+        self._step = finalize(make_semseg_train_step(config, wrapper=wrapper))
+        # the reference skips the CRF filter with p=0.5 during training
+        # (wrapper.py:29-31): a second compiled variant, host coin flip
+        self._step_nofilter = (
+            finalize(make_semseg_train_step(config, wrapper=True,
+                                            apply_filter=False))
+            if wrapper else None
+        )
+        self._coin = np.random.RandomState(0)
+        self._eval_step = jax.jit(make_eval_step(wrapper=wrapper))
 
         self.best_miou = -1.0
         ckpt = latest_checkpoint(config.checkpoint_dir)
@@ -347,7 +392,10 @@ class SemsegTrainer:
                 batch = next(feed)
             data_meter.update(time.perf_counter() - t0)
             step_timer.tic()
-            self.state, metrics = self._step(self.state, batch)
+            step_fn = self._step
+            if self._step_nofilter is not None and self._coin.rand() >= 0.5:
+                step_fn = self._step_nofilter
+            self.state, metrics = step_fn(self.state, batch)
             batch = None
             step_timer.toc()
             curr = int(self.state.step)
@@ -374,7 +422,7 @@ class SemsegTrainer:
                         self.num_classes, self.val_batch_size,
                         cfg.ignore_label, self._eval_step,
                         conv0_kernel_size=self.conv0_kernel_size,
-                        layout=self.layout,
+                        layout=self.layout, crf=self.crf,
                     )
                     log.info("val iter %d: full split (%d scenes)", curr, scenes)
                 else:

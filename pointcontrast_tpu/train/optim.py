@@ -126,9 +126,14 @@ def make_scheduler(name: str, config) -> "callable":
     raise ValueError(f"unknown scheduler {name!r}")
 
 
-def make_optimizer(name: str, base_lr: float, schedule, config) -> optax.GradientTransformation:
+def make_optimizer(name: str, base_lr: float, schedule, config,
+                   param_lr_scales: dict | None = None) -> optax.GradientTransformation:
     """Optimizer whose LR is base_lr * schedule(step), tracked via
-    optax.inject_hyperparams-free manual scaling (schedule applied inside)."""
+    optax.inject_hyperparams-free manual scaling (schedule applied inside).
+
+    param_lr_scales: {top-level param key: multiplier} applies a per-module
+    LR ratio (e.g. the CRF wrapper's ``wrapper_lr``, a knob the reference
+    declares in config/default.yaml:12 for its filter params)."""
     name = name.lower()
 
     def lr_from_count(count):
@@ -150,7 +155,12 @@ def make_optimizer(name: str, base_lr: float, schedule, config) -> optax.Gradien
         )
     else:
         raise ValueError(f"unknown optimizer {name!r}")
-    return optax.chain(
-        inner,
-        optax.scale_by_schedule(lambda count: lr_from_count(count)),
-    )
+    chain = [inner, optax.scale_by_schedule(lambda count: lr_from_count(count))]
+    for key, scale in (param_lr_scales or {}).items():
+        def mask_fn(params, key=key):
+            return {
+                k: jax.tree.map(lambda _: k == key, v) for k, v in params.items()
+            }
+
+        chain.append(optax.masked(optax.scale(scale), mask_fn))
+    return optax.chain(*chain)
