@@ -100,6 +100,7 @@ def main(argv: list[str] | None = None):
         seed=cfg.misc.seed,
         fuse_frames=bool(cfg.data.get("fuse_frames", True)),
         conv0_kernel_size=cfg.net.conv1_kernel_size,
+        layout=cfg.data.get("layout", "voxel"),
     )
     model = load_model(cfg.net.model)(
         in_channels=3,

@@ -40,9 +40,11 @@ class PairLoader:
         shard_id: int = 0,
         fuse_frames: bool = False,
         conv0_kernel_size: int = 3,
+        layout: str = "voxel",
     ):
         """num_device_batches > 1 stacks that many independent per-device
         batches along a leading axis (the data-parallel mesh axis)."""
+        self.layout = layout
         self.dataset = dataset
         self.batch_size = batch_size
         self.scheme = scheme
@@ -86,6 +88,7 @@ class PairLoader:
             rng=self.rng,
             fuse_frames=self.fuse_frames,
             conv0_kernel_size=self.conv0_kernel_size,
+            layout=self.layout,
         )
 
     def _produce(self):

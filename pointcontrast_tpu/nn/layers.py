@@ -47,7 +47,7 @@ class SparseConv(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, features, nbr, valid_out):
+    def __call__(self, features, nbr, valid_out, rev=None):
         cin = features.shape[-1]
         w = self.param(
             "kernel", kernel_init, (self.kernel_volume, cin, self.out_channels)
@@ -58,18 +58,16 @@ class SparseConv(nn.Module):
         f = features.astype(self.dtype)
         # The map object decides the layout: same weights, same semantics.
         if isinstance(nbr, brick.BrickMap):
-            # Remat: without it autodiff saves every per-neighbor gathered
-            # brick-row tensor (27 x [NB, 2^D*C] per conv) as residuals and
-            # the backward OOMs at ScanNet scale; replaying the gathers is
-            # bandwidth-cheap next to holding them.
-            conv = jax.checkpoint(
-                lambda f_, n_, w_, b_, v_: brick.brick_conv(
-                    f_, n_, w_, nbr.plan, bias=b_, valid_out=v_))
-            return conv(f, nbr.nbr, w, b, valid_out)
+            # brick_conv differentiates through a scatter-free custom VJP
+            # whose only residuals are its inputs -- no remat needed (plain
+            # autodiff would save all 27 gathered brick-row tensors per conv
+            # and OOM the backward at ScanNet scale).
+            return brick.brick_conv(f, nbr.nbr, w, nbr.plan, bias=b,
+                                    valid_out=valid_out)
         if isinstance(nbr, brick.BrickDownMap):
             return brick.brick_down_conv(f, nbr.place, w, bias=b,
                                          valid_out=valid_out)
-        return ops.sparse_conv(f, nbr, w, bias=b, valid_out=valid_out)
+        return ops.sparse_conv(f, nbr, w, bias=b, valid_out=valid_out, rev=rev)
 
 
 class SparseConvTranspose(nn.Module):

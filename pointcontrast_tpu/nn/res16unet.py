@@ -56,7 +56,8 @@ class Res16UNetBase(nn.Module):
                 bn_momentum=self.bn_momentum,
                 dtype=self.dtype,
                 name=f"{name}_{i}",
-            )(x, lv.nbr, lv.valid, train, batch=lv.batch, num_batch=num_batch)
+            )(x, lv.nbr, lv.valid, train, batch=lv.batch, num_batch=num_batch,
+              rev=getattr(lv, "rev", None))
         return x
 
     @nn.compact
@@ -79,8 +80,12 @@ class Res16UNetBase(nn.Module):
             "built with the same conv0_kernel_size (got no nbr0 map)"
         )
         nbr0 = lv[0].nbr0 if lv[0].nbr0 is not None else lv[0].nbr
+        rev0 = (
+            getattr(lv[0], "rev0", None)
+            if lv[0].nbr0 is not None else getattr(lv[0], "rev", None)
+        )
         out = SparseConv(self.INIT_DIM, nbr0.shape[0], dtype=dtype, name="conv0p1s1")(
-            features.astype(dtype), nbr0, lv[0].valid
+            features.astype(dtype), nbr0, lv[0].valid, rev0
         )
         out_p1 = relu(bn("bn0")(out, lv[0].valid, train))
 

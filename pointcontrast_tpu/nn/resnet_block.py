@@ -45,12 +45,12 @@ class BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, nbr, valid, train: bool = True, batch=None,
-                 num_batch: int = 1):
+                 num_batch: int = 1, rev=None):
         dtype = self.dtype or x.dtype
-        out = SparseConv(self.planes, self.kernel_volume, dtype=dtype)(x, nbr, valid)
+        out = SparseConv(self.planes, self.kernel_volume, dtype=dtype)(x, nbr, valid, rev)
         out = MaskedBatchNorm(self.bn_momentum, dtype=dtype)(out, valid, train)
         out = relu(out)
-        out = SparseConv(self.planes, self.kernel_volume, dtype=dtype)(out, nbr, valid)
+        out = SparseConv(self.planes, self.kernel_volume, dtype=dtype)(out, nbr, valid, rev)
         out = MaskedBatchNorm(self.bn_momentum, dtype=dtype)(out, valid, train)
 
         if x.shape[-1] != self.planes * self.expansion:
@@ -75,12 +75,12 @@ class Bottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, x, nbr, valid, train: bool = True, batch=None,
-                 num_batch: int = 1):
+                 num_batch: int = 1, rev=None):
         dtype = self.dtype or x.dtype
         out = SparseLinear(self.planes, use_bias=False, dtype=dtype)(x, valid)
         out = MaskedBatchNorm(self.bn_momentum, dtype=dtype)(out, valid, train)
         out = relu(out)
-        out = SparseConv(self.planes, self.kernel_volume, dtype=dtype)(out, nbr, valid)
+        out = SparseConv(self.planes, self.kernel_volume, dtype=dtype)(out, nbr, valid, rev)
         out = MaskedBatchNorm(self.bn_momentum, dtype=dtype)(out, valid, train)
         out = relu(out)
         out = SparseLinear(self.planes * self.expansion, use_bias=False, dtype=dtype)(
@@ -113,16 +113,16 @@ class BasicBlockINBN(nn.Module):
 
     @nn.compact
     def __call__(self, x, nbr, valid, train: bool = True, batch=None,
-                 num_batch: int = 1):
+                 num_batch: int = 1, rev=None):
         dtype = self.dtype or x.dtype
 
         def norm(name):
             return InstanceBatchNorm(self.bn_momentum, dtype=dtype, name=name)
 
-        out = SparseConv(self.planes, self.kernel_volume, dtype=dtype)(x, nbr, valid)
+        out = SparseConv(self.planes, self.kernel_volume, dtype=dtype)(x, nbr, valid, rev)
         out = norm("norm1")(out, valid, train, batch, num_batch)
         out = relu(out)
-        out = SparseConv(self.planes, self.kernel_volume, dtype=dtype)(out, nbr, valid)
+        out = SparseConv(self.planes, self.kernel_volume, dtype=dtype)(out, nbr, valid, rev)
         out = norm("norm2")(out, valid, train, batch, num_batch)
         if x.shape[-1] != self.planes * self.expansion:
             residual = SparseLinear(

@@ -40,6 +40,7 @@ import functools
 from typing import Any, NamedTuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -272,7 +273,123 @@ def brick_conv(
     then one block matmul [NB, |S|*Cin] @ [|S|*Cin, |P|*Cout] whose (s, p)
     block is W[tap(2d+s-p)] (zero when outside the kernel region).  Python-
     unrolled so every slot selection/placement is a static slice, never a
-    device gather/scatter."""
+    device gather/scatter.
+
+    Differentiation goes through a custom VJP (scatter-free, minimal
+    residuals) when the plan's tap set is centrally symmetric — see
+    ``_brick_bwd``."""
+    rev = _tap_reversal(plan)
+    if rev is not None and valid_out is not None:
+        out = _brick_sym(features, nbr, weights, plan, rev)
+    else:
+        out = _brick_core(features, nbr, weights, plan)
+    if bias is not None:
+        out = out + bias
+    if valid_out is not None:
+        out = mask_rows(out, valid_out)
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _tap_reversal(plan: BrickPlan):
+    """Permutation over tap ids with offset(rev[t]) == -offset(t), derived
+    from the plan's tap matrices (taps of d at (s, p) and of -d at (p, s)
+    are negations of each other)."""
+    by_d = {}
+    for d_idx, s_r, p_r, taps, _ in plan.steps:
+        by_d[d_idx] = (s_r, p_r, np.asarray(taps))
+    k3 = 3 ** plan.dimension
+    rev = np.full(plan.num_taps, -1, np.int64)
+    for d_idx, (s_r, p_r, taps) in by_d.items():
+        nd = k3 - 1 - d_idx  # hypercube enumeration: offset(k3-1-k) = -offset(k)
+        if nd not in by_d:
+            return None
+        ns_r, np_r, ntaps = by_d[nd]
+        if ns_r != p_r or np_r != s_r:
+            return None
+        for i in range(taps.shape[0]):
+            for j in range(taps.shape[1]):
+                t = taps[i, j]
+                if t < 0:
+                    continue
+                t2 = ntaps[j, i]
+                if t2 < 0:
+                    return None
+                rev[t] = t2
+    if (rev < 0).any():
+        return None
+    return tuple(int(v) for v in rev)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _brick_sym(features, nbr, weights, plan, rev):
+    return _brick_core(features, nbr, weights, plan)
+
+
+def _brick_sym_fwd(features, nbr, weights, plan, rev):
+    return _brick_core(features, nbr, weights, plan), (features, nbr, weights)
+
+
+def _brick_sym_bwd(plan, rev, res, ct):
+    """d_features is the same brick conv applied to the cotangent with
+    weights W'[t] = W[-t]^T (pad/empty-slot cotangents are zero because the
+    forward masks them); dW re-uses the forward's gathers: per neighbor d,
+    dWd = gs^T @ ct_p and its (s, p) blocks accumulate into dW[tap]."""
+    import itertools as _it
+
+    features, nbr, weights = res
+    wrev = jnp.transpose(
+        jnp.take(weights, np.asarray(rev, np.int64), axis=0), (0, 2, 1)
+    )
+    df = _brick_core(ct, nbr, wrev, plan)
+
+    nb = nbr.shape[1]
+    ns = plan.num_slots
+    dim = plan.dimension
+    cin = features.shape[-1]
+    cout = ct.shape[-1]
+    f_rows = features.reshape(nb, ns * cin)
+    grid = (2,) * dim
+    f32 = jnp.float32
+    dw_blocks: dict = {}
+    for d_idx, s_ranges, p_ranges, taps, is_center in plan.steps:
+        n_s = int(np.prod([hi - lo for lo, hi in s_ranges]))
+        n_p = int(np.prod([hi - lo for lo, hi in p_ranges]))
+        g = features if is_center else jnp.take(f_rows, nbr[d_idx], axis=0)
+        if n_s == ns:
+            gs = g.reshape(nb, ns * cin)
+        else:
+            g = g.reshape((nb,) + grid + (cin,))
+            sl = tuple(slice(*s_ranges[dim - 1 - j]) for j in range(dim))
+            gs = g[(slice(None),) + sl].reshape(nb, n_s * cin)
+        if n_p == ns:
+            cp = ct.reshape(nb, ns * cout)
+        else:
+            c5 = ct.reshape((nb,) + grid + (cout,))
+            sl = tuple(slice(*p_ranges[dim - 1 - j]) for j in range(dim))
+            cp = c5[(slice(None),) + sl].reshape(nb, n_p * cout)
+        m = jnp.dot(gs.astype(f32).T, cp.astype(f32),
+                    preferred_element_type=f32)
+        m = m.reshape(n_s, cin, n_p, cout)
+        for i, j in _it.product(range(n_s), range(n_p)):
+            t = taps[i][j]
+            if t < 0:
+                continue
+            blk = m[i, :, j, :]
+            dw_blocks[t] = blk if t not in dw_blocks else dw_blocks[t] + blk
+    dw = jnp.stack([dw_blocks[t] for t in range(plan.num_taps)], axis=0)
+    return df, None, dw.astype(weights.dtype)
+
+
+_brick_sym.defvjp(_brick_sym_fwd, _brick_sym_bwd)
+
+
+def _brick_core(
+    features: jnp.ndarray,
+    nbr: jnp.ndarray,
+    weights: jnp.ndarray,
+    plan: BrickPlan,
+) -> jnp.ndarray:
     import itertools as _it
 
     nb = nbr.shape[1]
@@ -314,10 +431,6 @@ def brick_conv(
         [a if a is not None else jnp.zeros((nb, cout), jnp.float32) for a in acc],
         axis=1,
     ).reshape(nb * ns, cout).astype(features.dtype)
-    if bias is not None:
-        out = out + bias
-    if valid_out is not None:
-        out = mask_rows(out, valid_out)
     return out
 
 

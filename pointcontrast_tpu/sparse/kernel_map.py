@@ -93,3 +93,21 @@ def kernel_offsets(
 def offset_index(offsets: np.ndarray) -> dict:
     """Map each offset tuple to its row index in ``offsets``."""
     return {tuple(int(v) for v in o): i for i, o in enumerate(offsets)}
+
+
+def reversal_permutation(offsets: np.ndarray) -> tuple:
+    """rev with offsets[rev[k]] == -offsets[k], or None if the set is not
+    centrally symmetric (then the conv's adjoint is not a conv over the same
+    map and callers must fall back to autodiff).
+
+    For symmetric same-level kernels this is what makes the conv backward a
+    *gather* instead of a scatter: the adjoint of 'read my neighbor at +o'
+    is 'read my neighbor at -o'."""
+    idx = offset_index(offsets)
+    rev = []
+    for o in offsets:
+        key = tuple(int(-v) for v in o)
+        if key not in idx:
+            return None
+        rev.append(idx[key])
+    return tuple(rev)

@@ -16,13 +16,75 @@ Minkowski{Avg,Sum}Pooling / MinkowskiGlobalPooling (SURVEY.md section 2.7).
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def mask_rows(features: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     """Zero out padded rows. valid: [N] float (1 valid / 0 pad)."""
     return features * valid[:, None].astype(features.dtype)
+
+
+def _conv_core(features, nbr, weights):
+    """Scan-form gather-GEMM conv (no bias/mask): the shared fwd kernel."""
+    k, n_out = nbr.shape
+    cout = weights.shape[-1]
+
+    def body(acc, inputs):
+        w_k, nbr_k = inputs
+        y = jnp.dot(features, w_k, preferred_element_type=jnp.float32)
+        return acc + jnp.take(y, nbr_k, axis=0), None
+
+    acc0 = jnp.zeros((n_out, cout), jnp.float32)
+    out, _ = jax.lax.scan(body, acc0, (weights, nbr))
+    return out.astype(features.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _conv_sym(features, nbr, weights, rev):
+    return _conv_core(features, nbr, weights)
+
+
+def _conv_sym_fwd(features, nbr, weights, rev):
+    return _conv_core(features, nbr, weights), (features, nbr, weights)
+
+
+def _conv_sym_bwd(rev, res, ct):
+    """Scatter-free backward for centrally-symmetric same-level maps.
+
+    The adjoint of gathering neighbor +o is gathering neighbor -o (missing
+    neighbors land on the pad row whose cotangent is zero because every
+    consumer masks pad rows), so
+
+        dF   = sum_k take(ct, nbr[rev[k]]) @ W_k^T
+        dW_k = F^T @ take(ct, nbr[rev[k]])        (same gathers, shared)
+
+    -- the backward costs one gather + two matmuls per offset, the same row
+    traffic as the forward, instead of autodiff's per-step scatter-adds and
+    stacked scan residuals (measured 3-4x slower and OOM-prone)."""
+    features, nbr, weights = res
+    rev_rows = jnp.take(nbr, jnp.asarray(np.asarray(rev, np.int32)), axis=0)
+    cin = features.shape[-1]
+    f32 = jnp.float32
+
+    def body(acc, inputs):
+        w_k, nbr_rk = inputs
+        g = jnp.take(ct, nbr_rk, axis=0)  # [N_in, cout]
+        df = acc + jnp.dot(g, w_k.T.astype(g.dtype),
+                           preferred_element_type=f32)
+        dw_k = jnp.dot(features.astype(f32).T, g.astype(f32),
+                       preferred_element_type=f32)
+        return df, dw_k
+
+    acc0 = jnp.zeros((features.shape[0], cin), f32)
+    df, dw = jax.lax.scan(body, acc0, (weights, rev_rows))
+    return df.astype(features.dtype), None, dw.astype(weights.dtype)
+
+
+_conv_sym.defvjp(_conv_sym_fwd, _conv_sym_bwd)
 
 
 def sparse_conv(
@@ -31,6 +93,7 @@ def sparse_conv(
     weights: jnp.ndarray,  # [K, Cin, Cout]
     bias: jnp.ndarray | None = None,  # [Cout]
     valid_out: jnp.ndarray | None = None,  # [N_out] float mask
+    rev: tuple | None = None,  # offset-reversal perm (same-level maps only)
 ) -> jnp.ndarray:
     """Generalized sparse convolution as K accumulated matmul+gather steps.
 
@@ -42,23 +105,25 @@ def sparse_conv(
 
     Covers stride-1 convs (nbr = same-level map, N_out == N_in) and stride-2
     downsampling convs (nbr = down map, N_out = coarse level size).
+
+    rev: ``kernel_map.reversal_permutation`` of the kernel's offsets.  Only
+    valid for same-level maps (N_out == N_in) with ``valid_out`` masking;
+    enables the scatter-free custom backward (see ``_conv_sym_bwd``).
     """
     k, n_out = nbr.shape
-    cin = features.shape[-1]
     cout = weights.shape[-1]
 
     if k == 1:
         y = jnp.dot(features, weights[0], preferred_element_type=jnp.float32)
-        out = jnp.take(y, nbr[0], axis=0)
+        out = jnp.take(y, nbr[0], axis=0).astype(features.dtype)
+    elif (
+        rev is not None
+        and n_out == features.shape[0]
+        and valid_out is not None
+    ):
+        out = _conv_sym(features, nbr, weights, tuple(rev))
     else:
-        def body(acc, inputs):
-            w_k, nbr_k = inputs
-            y = jnp.dot(features, w_k, preferred_element_type=jnp.float32)
-            return acc + jnp.take(y, nbr_k, axis=0), None
-
-        acc0 = jnp.zeros((n_out, cout), jnp.float32)
-        out, _ = jax.lax.scan(body, acc0, (weights, nbr))
-    out = out.astype(features.dtype)
+        out = _conv_core(features, nbr, weights)
     if bias is not None:
         out = out + bias
     if valid_out is not None:

@@ -34,7 +34,7 @@ import numpy as np
 from flax import struct
 
 from pointcontrast_tpu.sparse.hashing import HashSpec
-from pointcontrast_tpu.sparse.kernel_map import kernel_offsets
+from pointcontrast_tpu.sparse.kernel_map import kernel_offsets, reversal_permutation
 
 _BUCKET_BASE = 256
 
@@ -60,6 +60,11 @@ class LevelTopo:
     up_parent: Optional["jnp_array"] = None  # [Npad]: idx into level l+1
     up_offset: Optional["jnp_array"] = None  # [Npad]: kernel offset id in [0, 2^D)
     nbr0: Optional["jnp_array"] = None  # level-0 only: conv0 map when k != 3
+    # static offset-reversal permutations for nbr/nbr0 (None when the kernel
+    # region is not centrally symmetric): enable the scatter-free conv
+    # backward (ops._conv_sym_bwd)
+    rev: Optional[tuple] = struct.field(pytree_node=False, default=None)
+    rev0: Optional[tuple] = struct.field(pytree_node=False, default=None)
 
 
 # flax.struct needs a type annotation object; arrays may be numpy or jax.
@@ -233,6 +238,7 @@ def build_pyramid(
         batch[:n] = cur[:, 0]
 
         nbr0 = None
+        rev0 = None
         if lvl == 0 and (conv0_kernel_size != block_kernel_size or axis_types):
             ks0 = (
                 tuple(conv0_kernel_size if v else 1 for v in sa)
@@ -240,8 +246,13 @@ def build_pyramid(
             )
             offs0 = kernel_offsets(ks0, dimension, "hypercube")
             nbr0 = _same_level_map(cur, offs0, npad, dimension)
+            rev0 = reversal_permutation(offs0)
 
-        level = dict(nbr=nbr, valid=valid, batch=batch, nbr0=nbr0)
+        level = dict(
+            nbr=nbr, valid=valid, batch=batch, nbr0=nbr0,
+            rev=reversal_permutation(offs3) if nbr is not None else None,
+            rev0=rev0,
+        )
         meta_coords.append(cur)
         meta_counts.append(n)
         meta_npads.append(npad)

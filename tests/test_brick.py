@@ -191,3 +191,71 @@ class TestBrickModel:
                 l0 = float(metrics["loss"])
         assert np.isfinite(float(metrics["loss"]))
         assert float(metrics["loss"]) < l0
+
+
+class TestCustomVJP:
+    """Scatter-free custom backwards == plain autodiff (at valid rows; pad
+    rows legitimately differ — autodiff assigns gradient to masked pad
+    inputs, the custom rule zeroes it, and every producer masks anyway)."""
+
+    def test_sym_conv_grads_match_autodiff(self):
+        from pointcontrast_tpu.sparse.kernel_map import kernel_offsets, reversal_permutation
+        from pointcontrast_tpu.sparse import ops
+
+        coords, rng = make_coords(seed=5)
+        n, cin, cout = len(coords), 5, 4
+        vox, vmeta, _, _ = dual_pyramids(coords, num_levels=1)
+        lv = vox.levels[0]
+        rev = reversal_permutation(kernel_offsets(3, 3, "hypercube"))
+        feats = np.zeros((vmeta.npads[0], cin), np.float32)
+        feats[:n] = rng.randn(n, cin)
+        w = rng.randn(27, cin, cout).astype(np.float32) * 0.1
+        valid = np.asarray(lv.valid)
+
+        def loss(form):
+            def f(F, W):
+                out = ops.sparse_conv(
+                    jnp.asarray(F), jnp.asarray(lv.nbr), W,
+                    valid_out=jnp.asarray(valid),
+                    rev=rev if form == "custom" else None)
+                return (out ** 2).sum()
+            return f
+
+        gF_a, gW_a = jax.grad(loss("auto"), argnums=(0, 1))(feats, jnp.asarray(w))
+        gF_c, gW_c = jax.grad(loss("custom"), argnums=(0, 1))(feats, jnp.asarray(w))
+        np.testing.assert_allclose(np.asarray(gW_c), np.asarray(gW_a),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gF_c)[:n], np.asarray(gF_a)[:n],
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_brick_conv_grads_match_autodiff(self):
+        from pointcontrast_tpu.sparse.brick import _brick_core, build_plan
+
+        coords, rng = make_coords(seed=6)
+        n, cin, cout = len(coords), 4, 3
+        _, _, brk, rows0 = dual_pyramids(coords, num_levels=1)
+        bl = brk.levels[0]
+        plan = build_plan(3, 3)
+        table = np.zeros((bl.valid.shape[0], cin), np.float32)
+        table[rows0] = rng.randn(n, cin)
+        w = rng.randn(27, cin, cout).astype(np.float32) * 0.1
+        valid = jnp.asarray(bl.valid)
+        nbr = jnp.asarray(bl.nbr.nbr)
+
+        def loss_custom(F, W):
+            out = brick.brick_conv(F, nbr, W, plan, valid_out=valid)
+            return (out ** 2).sum()
+
+        def loss_auto(F, W):
+            out = ops.mask_rows(_brick_core(F, nbr, W, plan), valid)
+            return (out ** 2).sum()
+
+        gF_a, gW_a = jax.grad(loss_auto, argnums=(0, 1))(
+            jnp.asarray(table), jnp.asarray(w))
+        gF_c, gW_c = jax.grad(loss_custom, argnums=(0, 1))(
+            jnp.asarray(table), jnp.asarray(w))
+        np.testing.assert_allclose(np.asarray(gW_c), np.asarray(gW_a),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gF_c)[rows0],
+                                   np.asarray(gF_a)[rows0],
+                                   rtol=1e-4, atol=1e-4)
