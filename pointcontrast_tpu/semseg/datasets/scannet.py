@@ -77,8 +77,16 @@ class ScannetVoxelizationDataset(VoxelizationDataset):
         if phase not in ("train", "trainval"):
             self.CLIP_BOUND = self.TEST_CLIP_BOUND
         if data_paths is None:
+            # data_root/splits overrides; otherwise the in-repo vendored
+            # lists (mirroring reference downstream/semseg/splits/scannet)
             splits_dir = splits_dir or os.path.join(data_root, "splits")
-            with open(os.path.join(splits_dir, SPLIT_FILES[phase])) as f:
+            path = os.path.join(splits_dir, SPLIT_FILES[phase])
+            if not os.path.exists(path):
+                path = os.path.join(
+                    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "splits", "scannet", SPLIT_FILES[phase],
+                )
+            with open(path) as f:
                 data_paths = [l.strip() for l in f if l.strip()]
         super().__init__(data_paths, data_root=data_root, **kwargs)
 

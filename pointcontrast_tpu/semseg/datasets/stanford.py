@@ -61,8 +61,15 @@ class StanfordDataset(VoxelizationDataset):
             self.CLIP_BOUND = self.TEST_CLIP_BOUND
         if data_paths is None:
             data_paths = []
+            vendored = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "splits", "stanford",
+            )
             for split in self.SPLITS[phase]:
-                with open(os.path.join(data_root, "splits", split)) as f:
+                path = os.path.join(data_root, "splits", split)
+                if not os.path.exists(path):  # fall back to vendored lists
+                    path = os.path.join(vendored, split)
+                with open(path) as f:
                     data_paths += [l.strip() for l in f if l.strip()]
         super().__init__(data_paths, data_root=data_root, **kwargs)
 

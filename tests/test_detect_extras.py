@@ -150,3 +150,71 @@ class TestSparseMM:
         want = np.zeros((10, 4))
         want[rows] = 1
         np.testing.assert_allclose(np.asarray(g), want)
+
+
+class TestSunrgbdDumper:
+    def test_extract_roundtrip(self, tmp_path):
+        """Fabricated raw SUN RGB-D layout -> dumper -> our detection
+        dataset loads it and the votes point at box centroids."""
+        import scipy.io as sio
+
+        from pointcontrast_tpu.detect.sunrgbd import SunrgbdDetectionVotesDataset
+        from pointcontrast_tpu.tools.sunrgbd_data import extract_sunrgbd_data
+
+        raw = tmp_path / "raw"
+        for sub in ("depth", "label"):
+            (raw / sub).mkdir(parents=True)
+        rng = np.random.RandomState(0)
+        # scene 1: a box of points around (1, 2, 0.5) + background
+        centroid = np.array([1.0, 2.0, 0.5])
+        half = np.array([0.4, 0.3, 0.25])
+        inside = centroid + (rng.rand(300, 3) - 0.5) * 2 * half * 0.9
+        bg = rng.rand(500, 3) * 6 - 1
+        bg = bg[~np.all(np.abs(bg - centroid) <= half, axis=1)]
+        pts = np.concatenate([inside, bg])
+        pc = np.concatenate([pts, rng.rand(len(pts), 3)], 1)
+        sio.savemat(raw / "depth" / "000001.mat", {"instance": pc})
+        # label: classname xmin ymin dx dy cx cy cz w l h ox oy
+        (raw / "label" / "000001.txt").write_text(
+            f"chair 10 10 50 50 {centroid[0]} {centroid[1]} {centroid[2]} "
+            f"{half[1]} {half[0]} {half[2]} 1 0\n"
+            "unknown_thing 0 0 5 5 0 0 0 0.1 0.1 0.1 1 0\n"
+        )
+        idxf = tmp_path / "idx.txt"
+        idxf.write_text("1\n")
+        out = tmp_path / "out"
+        written = extract_sunrgbd_data(
+            str(idxf), str(raw), str(out), num_point=600, save_votes=True)
+        assert written == [1]
+
+        obbs = np.load(out / "000001_bbox.npy")
+        assert obbs.shape == (1, 8)  # whitelist filtered the unknown class
+        np.testing.assert_allclose(obbs[0, :3], centroid)
+        np.testing.assert_allclose(obbs[0, 3:6], [half[0], half[1], half[2]])
+        votes = np.load(out / "000001_votes.npz")["point_votes"]
+        pcs = np.load(out / "000001_pc.npz")["pc"]
+        in_mask = votes[:, 0] > 0
+        assert in_mask.sum() > 50
+        np.testing.assert_allclose(
+            pcs[in_mask, :3] + votes[in_mask, 1:4],
+            np.broadcast_to(centroid, (int(in_mask.sum()), 3)), atol=1e-6)
+
+        ds = SunrgbdDetectionVotesDataset(
+            str(out), scan_names=["000001"], num_points=512, seed=0)
+        sample = ds[0]
+        assert sample["point_clouds"].shape == (512, 3)
+
+
+class TestVendoredSplits:
+    def test_scannet_and_stanford_fallback(self, tmp_path):
+        from pointcontrast_tpu.semseg.datasets.scannet import (
+            ScannetVoxelization2cmDataset,
+        )
+        from pointcontrast_tpu.semseg.datasets.stanford import (
+            StanfordArea5Dataset,
+        )
+
+        ds = ScannetVoxelization2cmDataset(str(tmp_path), phase="val")
+        assert len(ds) == 312  # reference scannetv2_val.txt
+        st = StanfordArea5Dataset(str(tmp_path), phase="val")
+        assert len(st) == 68  # reference area5.txt (67 newlines + unterminated last line)
