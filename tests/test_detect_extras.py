@@ -218,3 +218,73 @@ class TestVendoredSplits:
         assert len(ds) == 312  # reference scannetv2_val.txt
         st = StanfordArea5Dataset(str(tmp_path), phase="val")
         assert len(st) == 68  # reference area5.txt (67 newlines + unterminated last line)
+
+
+class TestPcUtilVolumes:
+    def test_volume_roundtrip(self):
+        rng = np.random.RandomState(0)
+        from pointcontrast_tpu.detect import pc_util
+
+        pts = rng.rand(500, 3) * 2 - 1
+        vol = pc_util.point_cloud_to_volume(pts, vsize=12, radius=1.0)
+        assert vol.shape == (12, 12, 12) and set(np.unique(vol)) <= {0.0, 1.0}
+        back = pc_util.volume_to_point_cloud(vol)
+        assert len(back) == int(vol.sum())
+        # every input point's cell is occupied
+        voxel = 2.0 / 12
+        cells = np.clip(((pts + 1.0) / voxel).astype(int), 0, 11)
+        assert vol[cells[:, 0], cells[:, 1], cells[:, 2]].all()
+
+        batch = pc_util.point_cloud_to_volume_batch(
+            np.stack([pts, pts]), vsize=12, flatten=True)
+        assert batch.shape == (2, 12 ** 3)
+        np.testing.assert_array_equal(batch[0].reshape(12, 12, 12), vol)
+
+    def test_volume_v2_samples(self):
+        from pointcontrast_tpu.detect import pc_util
+
+        rng = np.random.RandomState(1)
+        pts = rng.rand(400, 3) * 2 - 1
+        vol = pc_util.point_cloud_to_volume_v2(pts, vsize=4, num_sample=8)
+        assert vol.shape == (4, 4, 4, 8, 3)
+        # relative coords stay within one cell (|d| <= 1 cell unit)
+        assert np.abs(vol).max() <= 1.0 + 1e-6
+        occupied = np.abs(vol).sum(axis=(3, 4)) > 0
+        assert occupied.sum() > 0
+
+
+class TestSemsegViz:
+    def test_visualize_and_permute(self, tmp_path):
+        from pointcontrast_tpu.semseg.viz import permute_pointcloud, visualize_results
+        from pointcontrast_tpu.semseg.datasets.scannet import SCANNET_COLOR_MAP
+        from pointcontrast_tpu.utils.ply import read_ply
+
+        rng = np.random.RandomState(0)
+        n = 300
+        coords = np.concatenate(
+            [np.zeros((n, 1), np.int32), rng.randint(0, 20, (n, 3))], 1)
+        coords = np.unique(coords, axis=0)
+        n = len(coords)
+        target = rng.randint(0, 5, n)
+        target[:10] = 255
+        pred = rng.randint(0, 5, n)
+        colors = rng.randint(0, 255, (n, 3)).astype(np.float64)
+        paths = visualize_results(
+            coords, colors, target, pred, SCANNET_COLOR_MAP,
+            str(tmp_path), "scannet_Res16UNet34C", 7)
+        assert len(paths) == 3 and all(p.endswith("0007.ply") for p in paths)
+        data = read_ply(paths[0])
+        assert len(data["x"]) == n
+
+        # permute: original points ARE the voxel centers (identity transform)
+        pts = np.concatenate(
+            [coords[:, :1], coords[:, 1:4].astype(np.float64) + 0.5,
+             rng.randint(0, 5, (n, 1))], 1)
+        tf = np.tile(np.eye(4).reshape(-1), (1, 1))
+        vout = rng.randn(n, 5).astype(np.float32)
+        vpred = rng.randint(0, 5, n)
+        pout, ppred, ptgt = permute_pointcloud(
+            coords, pts, tf, {i: i for i in range(6)}, vout, vpred)
+        np.testing.assert_array_equal(ppred, vpred)
+        np.testing.assert_allclose(pout, vout)
+        np.testing.assert_array_equal(ptgt, pts[:, 4].astype(int))
