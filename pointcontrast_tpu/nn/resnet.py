@@ -106,7 +106,9 @@ class ResNetBase(nn.Module):
         )
         nbr0 = lv[0].nbr0 if lv[0].nbr0 is not None else lv[0].nbr
         out = SparseConv(self.INIT_DIM, nbr0.shape[0], dtype=dtype, name="conv1")(
-            features.astype(dtype), nbr0, lv[0].valid
+            features.astype(dtype), nbr0, lv[0].valid,
+            getattr(lv[0], "rev0", None) if lv[0].nbr0 is not None
+            else getattr(lv[0], "rev", None),
         )
         out = relu(
             MaskedBatchNorm(self.bn_momentum, dtype=dtype, name="bn1")(
@@ -135,7 +137,7 @@ class ResNetBase(nn.Module):
                     bn_momentum=self.bn_momentum,
                     dtype=dtype,
                     name=f"layer{i + 1}_{b}",
-                )(out, dst.nbr, dst.valid, train)
+                )(out, dst.nbr, dst.valid, train, rev=getattr(dst, "rev", None))
 
         return SparseLinear(
             self.out_channels, use_bias=True, dtype=dtype, name="final"

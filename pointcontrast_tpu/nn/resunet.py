@@ -52,7 +52,8 @@ class MinkUNetBase(nn.Module):
                 bn_momentum=self.bn_momentum,
                 dtype=self.dtype,
                 name=f"{name}_{i}",
-            )(x, lv.nbr, lv.valid, train, batch=lv.batch, num_batch=num_batch)
+            )(x, lv.nbr, lv.valid, train, batch=lv.batch, num_batch=num_batch,
+              rev=getattr(lv, "rev", None))
         return x
 
     @nn.compact
@@ -73,7 +74,9 @@ class MinkUNetBase(nn.Module):
         )
         nbr0 = lv[0].nbr0 if lv[0].nbr0 is not None else lv[0].nbr
         out = SparseConv(self.INIT_DIM, nbr0.shape[0], dtype=dtype, name="conv1p1s1")(
-            features.astype(dtype), nbr0, lv[0].valid
+            features.astype(dtype), nbr0, lv[0].valid,
+            getattr(lv[0], "rev0", None) if lv[0].nbr0 is not None
+            else getattr(lv[0], "rev", None),
         )
         out = relu(bn("bn1")(out, lv[0].valid, train))
         skips = [self._stage(out, lv[0], self.PLANES[0],
@@ -201,7 +204,9 @@ class MinkUNetHyper(MinkUNetBase):
         )
         nbr0 = lv[0].nbr0 if lv[0].nbr0 is not None else lv[0].nbr
         out = SparseConv(self.INIT_DIM, nbr0.shape[0], dtype=dtype, name="conv1p1s1")(
-            features.astype(dtype), nbr0, lv[0].valid
+            features.astype(dtype), nbr0, lv[0].valid,
+            getattr(lv[0], "rev0", None) if lv[0].nbr0 is not None
+            else getattr(lv[0], "rev", None),
         )
         out = relu(bn("bn1")(out, lv[0].valid, train))
         skips = [self._stage(out, lv[0], self.PLANES[0],
