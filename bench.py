@@ -3,19 +3,27 @@
 Measures pairs/sec for the flagship config: Res16UNet34C, PointInfoNCE loss,
 per-chip batch of 4 frame pairs at ScanNet-like voxel counts (the reference's
 per-GPU batch, scripts/ddp_local.sh:20 + defaults.yaml batch_size=4), full
-training step (fwd x2 + loss + bwd + SGD).
+training step (fused fwd + loss + bwd + SGD).
+
+Workload realism: frames are saturated surface scans (~15.5k voxels each at
+2.5 cm, every surface voxel in view occupied) — the statistics of real
+depth-frame unprojections.  Round 1 benched diffuse sub-voxel-density point
+sprays, which inflate the coarse pyramid levels ~2-3x (level-1 ratio 0.62 vs
+the real ~0.26) and understate throughput; level-0 size is unchanged
+(~126k fused voxels vs 131072 pad).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 vs_baseline: the reference publishes no pairs/sec (BASELINE.md); the divisor
-is a documented estimate of the 8x-V100 reference throughput *per GPU*:
-MinkowskiEngine Res16UNet34C pretraining runs ~1.5 iter/s per V100 at batch 4
-(two ~15k-voxel frames per pair) => ~6 pairs/s/GPU.  vs_baseline therefore is
-(our pairs/sec/chip) / 6.0.
+is a documented estimate of the 8x-V100 reference throughput *per GPU*,
+derived in PERF.md ("Baseline comparison"): MinkowskiEngine-era Res16UNet34C
+pretraining runs ~1.5 iter/s per V100 at batch 4 (two ~15k-voxel frames per
+pair) => ~6 pairs/s/GPU.  vs_baseline = (our pairs/sec/chip) / 6.0.
 """
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -23,8 +31,10 @@ import numpy as np
 REFERENCE_PAIRS_PER_SEC_PER_GPU_EST = 6.0
 
 BATCH_PAIRS = 4
-POINTS_PER_FRAME = 20000
+POINTS_PER_FRAME = 45000  # saturates the visible surfaces at 2.5 cm
+ROOM_SIZE = 1.75  # ~15.5k voxels/frame, the reference's assumed frame size
 NPAD0 = 131072  # both frames fused into one sparse batch (8 frames)
+LAYOUT = os.environ.get("PC_TPU_BENCH_LAYOUT", "voxel")
 WARMUP = 3
 ITERS = 20
 
@@ -43,7 +53,8 @@ def main():
     from pointcontrast_tpu.train.state import create_train_state
 
     ds = SyntheticPairDataset(
-        num_pairs=BATCH_PAIRS * 2, points_per_frame=POINTS_PER_FRAME, seed=0
+        num_pairs=BATCH_PAIRS * 2, points_per_frame=POINTS_PER_FRAME,
+        room_size=ROOM_SIZE, seed=0,
     )
     scheme = PadScheme.scannet(npad0=NPAD0)
     rng = np.random.RandomState(0)
@@ -51,6 +62,7 @@ def main():
         collate_pair(
             [ds[(b * BATCH_PAIRS + i) % len(ds)] for i in range(BATCH_PAIRS)],
             scheme, mode="nce", npos=4096, rng=rng, fuse_frames=True,
+            layout=LAYOUT,
         )
         for b in range(2)
     ]

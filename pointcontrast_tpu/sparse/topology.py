@@ -39,6 +39,15 @@ from pointcontrast_tpu.sparse.kernel_map import kernel_offsets, reversal_permuta
 _BUCKET_BASE = 256
 
 
+def _shrink_idx(arr: np.ndarray, index_space: int) -> np.ndarray:
+    """Downcast gather maps to uint16 when every index fits: halves the
+    host->device bytes for all but the finest level's maps (XLA widens
+    indices on device for free; the transfer is what costs)."""
+    if arr is not None and index_space <= 65536:
+        return arr.astype(np.uint16)
+    return arr
+
+
 def bucket_size(n: int, base: int = _BUCKET_BASE) -> int:
     """Smallest bucket strictly greater than n, from a geometric {1, 1.5}*2^k
     grid, so recompilation happens only O(log N) times across batch sizes."""
@@ -249,7 +258,8 @@ def build_pyramid(
             rev0 = reversal_permutation(offs0)
 
         level = dict(
-            nbr=nbr, valid=valid, batch=batch, nbr0=nbr0,
+            nbr=_shrink_idx(nbr, npad), valid=valid, batch=batch,
+            nbr0=_shrink_idx(nbr0, npad),
             rev=reversal_permutation(offs3) if nbr is not None else None,
             rev0=rev0,
         )
@@ -302,7 +312,11 @@ def build_pyramid(
             found = skeys[pos_c] == qkeys
             down_nbr[:, :nc] = np.where(found, order[pos_c], npad - 1)
 
-            level.update(down_nbr=down_nbr, up_parent=up_parent, up_offset=up_offset)
+            level.update(
+                down_nbr=_shrink_idx(down_nbr, npad),
+                up_parent=_shrink_idx(up_parent, npad_next),
+                up_offset=up_offset.astype(np.uint16),
+            )
 
             if build_down3:
                 offs3s = kernel_offsets(3, dimension, "hypercube")
@@ -313,7 +327,7 @@ def build_pyramid(
                 found3 = skeys[pos3_c] == q3
                 down_nbr3 = np.full((len(offs3s), npad_next), npad - 1, dtype=np.int32)
                 down_nbr3[:, :nc] = np.where(found3, order[pos3_c], npad - 1)
-                level.update(down_nbr3=down_nbr3)
+                level.update(down_nbr3=_shrink_idx(down_nbr3, npad))
 
             cur = coarse
         levels.append(LevelTopo(**level))
