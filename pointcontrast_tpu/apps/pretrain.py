@@ -53,6 +53,9 @@ def build_dataset(cfg):
 
 
 def main(argv: list[str] | None = None):
+    from pointcontrast_tpu.utils.platform import honor_env_platform
+
+    honor_env_platform()
     argv = list(sys.argv[1:] if argv is None else argv)
     logging.basicConfig(
         level=logging.INFO,

@@ -48,6 +48,9 @@ def build_datasets(cfg):
 
 
 def main(argv: list[str] | None = None):
+    from pointcontrast_tpu.utils.platform import honor_env_platform
+
+    honor_env_platform()
     argv = list(sys.argv[1:] if argv is None else argv)
     logging.basicConfig(level=logging.INFO)
     path = DEFAULT_CONFIG

@@ -47,6 +47,9 @@ class _BatchLoader:
 
 
 def main(argv: list[str] | None = None):
+    from pointcontrast_tpu.utils.platform import honor_env_platform
+
+    honor_env_platform()
     argv = list(sys.argv[1:] if argv is None else argv)
     logging.basicConfig(level=logging.INFO)
     path = DEFAULT_CONFIG
