@@ -131,11 +131,20 @@ def main(argv: list[str] | None = None):
         stat_freq=cfg.trainer.stat_freq,
         checkpoint_dir=os.path.join(cfg.misc.out_dir, "weights"),
     )
-    trainer = PretrainTrainer(model, loader, tcfg, mesh=mesh)
+    from pointcontrast_tpu.utils import preemption
+
+    guard = preemption.PreemptionGuard()
+    trainer = PretrainTrainer(model, loader, tcfg, mesh=mesh,
+                              preemption_guard=guard)
     try:
         history = trainer.train()
+    except preemption.Preempted as p:
+        preemption.write_requeue_marker(cfg.misc.out_dir, p.step)
+        log.warning("exiting requeueable (iter %d); restart resumes", p.step)
+        sys.exit(preemption.REQUEUE_EXIT_CODE)
     finally:
         loader.close()
+    preemption.clear_requeue_marker(cfg.misc.out_dir)
     return history
 
 

@@ -165,10 +165,19 @@ def main(argv: list[str] | None = None):
         conv0_kernel_size=cfg.net.conv1_kernel_size, layout=layout,
         crf=crf_cfg,
     )
+    from pointcontrast_tpu.utils import preemption
+
+    guard = preemption.PreemptionGuard()
+    trainer.preemption_guard = guard
     try:
         history = trainer.train()
+    except preemption.Preempted as p:
+        preemption.write_requeue_marker(cfg.train.out_dir, p.step)
+        log.warning("exiting requeueable (iter %d); restart resumes", p.step)
+        sys.exit(preemption.REQUEUE_EXIT_CODE)
     finally:
         train_loader.close()
+    preemption.clear_requeue_marker(cfg.train.out_dir)
     return history
 
 

@@ -173,17 +173,27 @@ def main(argv: list[str] | None = None):
                 log.info("backbone transfer: %d loaded %d skipped",
                          len(loaded), len(skipped))
 
+    from pointcontrast_tpu.utils import preemption
+
+    guard = preemption.PreemptionGuard()
+    trainer.preemption_guard = guard
     steps_per_epoch = max(1, len(train_ds) // cfg.data.batch_size)
     val_batches = max(1, len(val_ds) // cfg.data.batch_size)
-    for epoch in range(cfg.optimizer.max_epoch):
-        loss = trainer.train_epoch(train_loader, steps_per_epoch)
-        log.info("epoch %d loss %.4f", epoch, loss)
-        if (epoch + 1) % cfg.eval.eval_every == 0:
-            metrics = trainer.evaluate(val_loader, val_batches)
-            for t, m in metrics.items():
-                log.info("epoch %d AP@%.2f mAP %.4f AR %.4f",
-                         epoch, t, m["mAP"], m["AR"])
-            trainer.save(epoch)
+    try:
+        for epoch in range(trainer.epoch, cfg.optimizer.max_epoch):
+            loss = trainer.train_epoch(train_loader, steps_per_epoch)
+            log.info("epoch %d loss %.4f", epoch, loss)
+            if (epoch + 1) % cfg.eval.eval_every == 0:
+                metrics = trainer.evaluate(val_loader, val_batches)
+                for t, m in metrics.items():
+                    log.info("epoch %d AP@%.2f mAP %.4f AR %.4f",
+                             epoch, t, m["mAP"], m["AR"])
+                trainer.save(epoch)
+    except preemption.Preempted as p:
+        preemption.write_requeue_marker(cfg.misc.out_dir, p.step)
+        log.warning("exiting requeueable (epoch %d); restart resumes", p.step)
+        sys.exit(preemption.REQUEUE_EXIT_CODE)
+    preemption.clear_requeue_marker(cfg.misc.out_dir)
     return trainer
 
 

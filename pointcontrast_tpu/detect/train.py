@@ -151,6 +151,30 @@ class DetectTrainer:
             )
         )
         self.epoch = 0
+        self.preemption_guard = None  # see utils/preemption.py
+
+        from pointcontrast_tpu.train.checkpoint import (
+            latest_checkpoint,
+            load_checkpoint,
+        )
+
+        ckpt = latest_checkpoint(config.checkpoint_dir)
+        if ckpt is not None:
+            template = {
+                "curr_iter": np.asarray(0),
+                "params": jax.device_get(self.state.params),
+                "batch_stats": jax.device_get(self.state.batch_stats),
+                "opt_state": jax.device_get(self.state.opt_state),
+            }
+            payload = load_checkpoint(ckpt, template=template)
+            self.epoch = int(payload["curr_iter"])
+            self.state = self.state.replace(
+                step=self.epoch,
+                params=payload["params"],
+                batch_stats=payload["batch_stats"],
+                opt_state=payload["opt_state"],
+            )
+            log.info("resumed from %s at epoch %d", ckpt, self.epoch)
 
     def set_lr(self, lr: float):
         # inject_hyperparams exposes the lr inside opt_state. NOTE: the
@@ -195,6 +219,11 @@ class DetectTrainer:
             batch = next(loader)
             self.state, metrics = self._step(self.state, batch)
             losses.append(float(jax.device_get(metrics["loss"])))
+            if self.preemption_guard is not None and self.preemption_guard.preempted:
+                from pointcontrast_tpu.utils.preemption import Preempted
+
+                self.save(self.epoch)
+                raise Preempted(self.epoch)
         self.epoch += 1
         return float(np.mean(losses))
 

@@ -240,6 +240,7 @@ class SemsegTrainer:
         conv0_kernel_size: int = 3,
         layout: str = "voxel",
         crf: dict | None = None,
+        preemption_guard=None,
     ):
         """Validation source: pass ``val_dataset`` (+ ``val_scheme``) for
         whole-split validation each val_freq (the reference's semantics,
@@ -256,6 +257,7 @@ class SemsegTrainer:
         self.crf = crf
         self.num_classes = num_classes
         self.mesh = mesh
+        self.preemption_guard = preemption_guard
         schedule = optim.make_scheduler(config.scheduler, config)
         lr_scales = (
             {"filter": config.wrapper_lr / config.lr}
@@ -438,5 +440,12 @@ class SemsegTrainer:
                     self._save_best(curr)
             if curr % cfg.save_freq == 0 or curr == target:
                 save_checkpoint(cfg.checkpoint_dir, curr, self.state)
+            if self.preemption_guard is not None and self.preemption_guard.preempted:
+                from pointcontrast_tpu.utils.preemption import Preempted
+
+                save_checkpoint(cfg.checkpoint_dir, curr, self.state)
+                writer.close()
+                log.warning("preempted at iter %d: checkpoint saved, requeue", curr)
+                raise Preempted(curr)
         writer.close()
         return history

@@ -120,10 +120,12 @@ class PretrainTrainer:
     Single-device by default; pass a mesh for data parallelism (the loader
     must then stack ``num_device_batches == mesh size`` device batches)."""
 
-    def __init__(self, model, loader, config: PretrainConfig, mesh=None, rng=None):
+    def __init__(self, model, loader, config: PretrainConfig, mesh=None, rng=None,
+                 preemption_guard=None):
         self.config = config
         self.loader = loader
         self.mesh = mesh
+        self.preemption_guard = preemption_guard
         schedule = optim.make_scheduler(
             config.scheduler,
             _NS(exp_gamma=config.exp_gamma, max_iter=config.max_iter,
@@ -224,6 +226,13 @@ class PretrainTrainer:
                 step_timer.toc()
             if curr % cfg.save_freq == 0 or curr == target:
                 save_checkpoint(cfg.checkpoint_dir, curr, self.state)
+            if self.preemption_guard is not None and self.preemption_guard.preempted:
+                from pointcontrast_tpu.utils.preemption import Preempted
+
+                save_checkpoint(cfg.checkpoint_dir, curr, self.state)
+                writer.close()
+                log.warning("preempted at iter %d: checkpoint saved, requeue", curr)
+                raise Preempted(curr)
         writer.close()
         return history
 
