@@ -135,6 +135,103 @@ def test_convert_scannet_on_faithful_raw_tree(tmp_path):
     assert (l_test == 0).all()
 
 
+def test_scannet_pair_tree(tmp_path):
+    """Byte-faithful pretraining pair artifacts: nested
+    data_f25/<scene>/pcd/<frame>.npz files with a 'pcd' array and a
+    three-column 'path0 path1 overlap' list file
+    (reference example_dataset/overlap-30-50p-subset.txt +
+    lib/ddp_data_loaders.py:196-202)."""
+    from pointcontrast_tpu.data import PadScheme, ScanNetMatchPairDataset
+    from pointcontrast_tpu.data.collate import collate_pair
+
+    rng = np.random.RandomState(0)
+    root = tmp_path
+    lines = []
+    for scene, (f0, f1) in [("scene0589_00", (850, 1150)),
+                            ("scene0571_00", (125, 1275))]:
+        d = root / "data_f25" / scene / "pcd"
+        os.makedirs(d)
+        base = rng.rand(4000, 3) * 2.0
+        # two overlapping views: same cloud + small disjoint extras
+        np.savez(d / f"{f0}.npz", pcd=np.concatenate(
+            [base, rng.rand(500, 3) * 2.0]))
+        np.savez(d / f"{f1}.npz", pcd=np.concatenate(
+            [base + rng.randn(*base.shape) * 0.005, rng.rand(500, 3) * 2.0]))
+        lines.append(
+            f"data_f25/{scene}/pcd/{f0}.npz data_f25/{scene}/pcd/{f1}.npz "
+            f"0.794144556267"
+        )
+    (root / "overlap-30.txt").write_text("\n".join(lines) + "\n")
+
+    ds = ScanNetMatchPairDataset(str(root), "overlap-30.txt", seed=0)
+    assert len(ds) == 2
+    xyz0, xyz1, c0, c1, f0_, f1_, matches, trans = ds[0]
+    assert len(matches) > 100, "overlapping views must produce matches"
+    batch = collate_pair([ds[0], ds[1]], PadScheme(npad0=8192), mode="nce",
+                         npos=128, rng=np.random.RandomState(0),
+                         fuse_frames=True)
+    assert batch.num_pairs == 2
+    assert np.asarray(batch.pair_valid).sum() > 0
+
+
+def test_scannet_detection_npy_tree(tmp_path):
+    """Byte-faithful detection artifacts: {scene}_vert.npy [N,6] xyzrgb,
+    _ins_label/_sem_label.npy [N], _bbox.npy [K,7] with a trailing nyu40
+    class id, plus the split txt (reference
+    scannet_detection_dataset.py:26-224 / batch_load_scannet_data.py)."""
+    from pointcontrast_tpu.detect.datasets import (
+        ScannetDetectionDataset,
+        collate_detection,
+    )
+
+    rng = np.random.RandomState(0)
+    n = 3000
+    scene = "scene0000_00"
+    pts = rng.rand(n, 3) * 4.0
+    rgb = rng.randint(0, 256, (n, 3)).astype(np.float64)
+    ins = np.zeros(n, np.int64)
+    sem = np.zeros(n, np.int64)
+    # two object instances with nyu40 ids in the 18-class set (3=cabinet,
+    # 4=bed), plus background walls (id 1, not an object class)
+    ins[:500], sem[:500] = 1, 3
+    pts[:500] = pts[:500] * 0.2 + [1.0, 1.0, 0.2]
+    ins[500:900], sem[500:900] = 2, 4
+    pts[500:900] = pts[500:900] * 0.3 + [2.5, 2.5, 0.3]
+    sem[900:] = 1
+    bboxes = []
+    for lo, hi, cls in [(0, 500, 3), (500, 900, 4)]:
+        x = pts[lo:hi]
+        c = 0.5 * (x.min(0) + x.max(0))
+        d = x.max(0) - x.min(0)
+        bboxes.append(np.concatenate([c, d, [cls]]))
+    np.save(tmp_path / f"{scene}_vert.npy", np.hstack([pts, rgb]))
+    np.save(tmp_path / f"{scene}_ins_label.npy", ins)
+    np.save(tmp_path / f"{scene}_sem_label.npy", sem)
+    np.save(tmp_path / f"{scene}_bbox.npy", np.stack(bboxes))
+    split = tmp_path / "scannetv2_train.txt"
+    split.write_text(f"{scene}\nscene9999_00\n")  # unknown scenes filtered
+
+    ds = ScannetDetectionDataset(
+        str(tmp_path), split_file=str(split), num_points=2000,
+        use_color=True, use_height=True, augment=True, seed=0,
+    )
+    assert len(ds) == 1
+    s = ds[0]
+    assert s["point_clouds"].shape == (2000, 7)  # xyz + rgb + height
+    assert s["box_label_mask"].sum() == 2
+    assert set(s["sem_cls_label"][:2]) == {ds.dc.nyu40id2class[3],
+                                           ds.dc.nyu40id2class[4]}
+    # votes: object points point at their instance centroid, walls don't
+    assert 0 < s["vote_label_mask"].sum() < 2000
+    m = s["vote_label_mask"].astype(bool)
+    voted = s["point_clouds"][m, :3] + s["vote_label"][m, :3]
+    assert np.std(voted, axis=0).max() < np.std(
+        s["point_clouds"][m, :3], axis=0).max()
+
+    batch = collate_detection([s])
+    assert batch.point_clouds.shape == (1, 2000, 7)
+
+
 def test_label_mapping_tsv_quirks(tmp_path):
     # faithful to scannetv2-labels.combined.tsv: tab-separated, many
     # columns, categories containing spaces/apostrophes, blank nyu40id
