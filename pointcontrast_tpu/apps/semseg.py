@@ -122,7 +122,15 @@ def main(argv: list[str] | None = None):
         wrapper_cls = {
             "BilateralCRF": BilateralCRF, "TrilateralCRF": TrilateralCRF,
         }[wrapper_type]
-        grid_dim = 6 if wrapper_type == "BilateralCRF" else 7
+        if wrapper_type == "TrilateralCRF":
+            # the 7D (space+color+time) grid needs per-point timestamps,
+            # which the 3D semseg datasets don't carry (the reference only
+            # pairs it with the 4D ST nets, conditional_random_fields.py:161)
+            raise ValueError(
+                "TrilateralCRF requires 4D spatio-temporal inputs; the "
+                "semseg app's datasets are 3D — use BilateralCRF"
+            )
+        grid_dim = 6
         kv = len(kernel_offsets(
             crf_cfg["kernel_size"], grid_dim, crf_cfg["region"]))
         model = wrapper_cls(

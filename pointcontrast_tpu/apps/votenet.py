@@ -188,7 +188,10 @@ def main(argv: list[str] | None = None):
                 for t, m in metrics.items():
                     log.info("epoch %d AP@%.2f mAP %.4f AR %.4f",
                              epoch, t, m["mAP"], m["AR"])
-                trainer.save(epoch)
+                # trainer.epoch is already epoch+1 (train_epoch advanced it);
+                # saving that value makes resume continue at the NEXT epoch
+                # instead of re-training the one just finished
+                trainer.save()
     except preemption.Preempted as p:
         preemption.write_requeue_marker(cfg.misc.out_dir, p.step)
         log.warning("exiting requeueable (epoch %d); restart resumes", p.step)

@@ -68,7 +68,10 @@ class PadScheme:
                 )
             ratios = list(self.level_ratios[:n_levels])
             while len(ratios) < n_levels:
-                shrink = ratios[-1] / ratios[-2] if ratios[-2] else 0.5
+                shrink = (
+                    ratios[-1] / ratios[-2]
+                    if len(ratios) >= 2 and ratios[-2] else 0.5
+                )
                 ratios.append(ratios[-1] * min(shrink, 1.0))
             return [
                 max(int(self.npad0 * r) + 1, self.min_pad) for r in ratios
@@ -188,7 +191,7 @@ def parse_layout(layout: str):
     """'voxel' | 'brick' (default 2 brick levels) | 'brick:N' -> (kind, N)."""
     if layout == "voxel":
         return "voxel", 0
-    if layout != "voxel":
+    if layout == "brick":
         return "brick", 2
     if layout.startswith("brick:"):
         return "brick", int(layout.split(":", 1)[1])

@@ -191,6 +191,14 @@ class MinkUNetHyper(MinkUNetBase):
         def bn(name):
             return MaskedBatchNorm(self.bn_momentum, dtype=dtype, name=name)
 
+        from pointcontrast_tpu.sparse.brick import BrickMap
+
+        assert not any(isinstance(l.nbr, BrickMap) for l in lv), (
+            "MinkUNetHyper's chained pooling-transposes need per-fine-row "
+            "up_parent maps, which brick levels don't carry — build the "
+            "pyramid with layout='voxel'"
+        )
+
         def unpool_to_level0(x, from_level):
             # chained kernel-2 pooling transpose (MinkowskiPoolingTranspose
             # with stride 2^L == L successive parent broadcasts)

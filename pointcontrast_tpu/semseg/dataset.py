@@ -20,7 +20,11 @@ from typing import Any
 import numpy as np
 from flax import struct
 
-from pointcontrast_tpu.data.collate import PadScheme, _concat_with_batch_index
+from pointcontrast_tpu.data.collate import (
+    PadScheme,
+    _concat_with_batch_index,
+    parse_layout,
+)
 from pointcontrast_tpu.data.sampler import DistributedInfSampler
 from pointcontrast_tpu.semseg.voxelizer import Voxelizer
 from pointcontrast_tpu.sparse.quantize import sparse_quantize
@@ -248,7 +252,8 @@ def collate_semseg(
         feats = feats / 255.0 - 0.5
 
     n_levels = num_levels or scheme.num_levels
-    if layout != "voxel":
+    kind, brick_levels = parse_layout(layout)
+    if kind == "brick":
         from pointcontrast_tpu.sparse.brick import build_brick_pyramid
 
         pyr, meta, rows, orphan = build_brick_pyramid(
@@ -257,6 +262,7 @@ def collate_semseg(
             npads=scheme.npads_for(n_levels + 1),
             num_batch=nb,
             conv0_kernel_size=conv0_kernel_size,
+            brick_levels=brick_levels,
         )
         nrows = pyr.levels[0].valid.shape[0]
         keep = ~orphan

@@ -198,7 +198,7 @@ def evaluate_dataset(state, dataset, scheme, num_classes: int,
     is re-collated so no scene is silently skipped."""
     from pointcontrast_tpu.semseg.dataset import collate_semseg
 
-    eval_step = eval_step or jax.jit(make_eval_step())
+    eval_step = eval_step or jax.jit(make_eval_step(wrapper=crf is not None))
     hist = np.zeros((num_classes, num_classes))
     correct = total = scenes = 0
     pending = list(range(len(dataset)))

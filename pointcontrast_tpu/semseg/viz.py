@@ -70,6 +70,7 @@ def permute_pointcloud(
     label_map: dict,  # raw label -> train id (dataset.label_map)
     voxel_output: np.ndarray,  # [Nv, C] logits at voxels
     voxel_pred: np.ndarray,  # [Nv] predictions at voxels
+    ignore_label: int = 255,
 ):
     """Carry voxel outputs back to the original points: transform each
     point by its sample's voxelization matrix, join against the voxel
@@ -115,10 +116,12 @@ def permute_pointcloud(
     point_output[mask] = voxel_output[perm[mask]]
     point_pred = np.zeros(n_pts, np.int64)
     point_pred[mask] = np.asarray(voxel_pred)[perm[mask]]
-    lut_keys = np.array(list(label_map.keys()), np.int64)
-    lut = np.zeros(int(lut_keys.max()) + 1, np.int64)
+    raw = pointcloud[:, 4].astype(np.int64)
+    # raw ids absent from label_map score as ignore, never as train class 0
+    lut_keys = np.array(list(label_map.keys()) or [0], np.int64)
+    size = int(max(lut_keys.max(), raw.max() if len(raw) else 0)) + 1
+    lut = np.full(size, ignore_label, np.int64)
     for k, v in label_map.items():
         lut[k] = v
-    raw = pointcloud[:, 4].astype(np.int64)
-    point_target = lut[np.clip(raw, 0, len(lut) - 1)]
+    point_target = lut[np.clip(raw, 0, size - 1)]
     return point_output, point_pred, point_target

@@ -248,7 +248,11 @@ def build_pyramid(
 
         nbr0 = None
         rev0 = None
-        if lvl == 0 and (conv0_kernel_size != block_kernel_size or axis_types):
+        if (
+            lvl == 0
+            and first_nbr_level == 0  # brick callers skip all level-0 maps
+            and (conv0_kernel_size != block_kernel_size or axis_types)
+        ):
             ks0 = (
                 tuple(conv0_kernel_size if v else 1 for v in sa)
                 if stride_vec is not None else conv0_kernel_size

@@ -66,11 +66,15 @@ def load_depth_points_mat(path: str) -> np.ndarray:
 
 
 def read_calib(path: str):
-    """(Rtilt [3,3], K [3,3]) from the two-line calib txt (row-major)."""
+    """(Rtilt [3,3], K [3,3]) from the two-line calib txt.
+
+    The files are MATLAB exports, flattened column-major: recover with a
+    Fortran-order reshape and NO transpose, exactly like the reference
+    (sunrgbd_utils.py:92 ``np.reshape(..., order='F')``)."""
     with open(path) as f:
         lines = [line.rstrip() for line in f if line.strip()]
-    rtilt = np.array([float(x) for x in lines[0].split(" ")]).reshape(3, 3, order="F").T
-    k = np.array([float(x) for x in lines[1].split(" ")]).reshape(3, 3, order="F").T
+    rtilt = np.array([float(x) for x in lines[0].split(" ")]).reshape(3, 3, order="F")
+    k = np.array([float(x) for x in lines[1].split(" ")]).reshape(3, 3, order="F")
     return rtilt, k
 
 

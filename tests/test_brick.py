@@ -9,6 +9,39 @@ from pointcontrast_tpu.sparse import brick, ops
 from pointcontrast_tpu.sparse.topology import build_pyramid
 
 
+def test_parse_layout_contract():
+    """'brick:N' really selects N brick levels and junk strings raise
+    (regression: a dead branch once collapsed every non-voxel string to
+    brick:2 silently)."""
+    from pointcontrast_tpu.data.collate import parse_layout
+
+    assert parse_layout("voxel") == ("voxel", 0)
+    assert parse_layout("brick") == ("brick", 2)
+    for n in (1, 2, 3, 5):
+        assert parse_layout(f"brick:{n}") == ("brick", n)
+    for junk in ("voxl", "bricks", "brick2", ""):
+        with np.testing.assert_raises(ValueError):
+            parse_layout(junk)
+
+
+def test_semseg_collate_honors_brick_depth():
+    """collate_semseg passes brick:N through to the pyramid builder
+    (regression: it once bricked ALL levels for any non-voxel string)."""
+    from pointcontrast_tpu.data.collate import PadScheme
+    from pointcontrast_tpu.semseg.dataset import collate_semseg
+    from pointcontrast_tpu.semseg.datasets.synthetic import SyntheticSemsegDataset
+    from pointcontrast_tpu.sparse.brick import BrickMap
+
+    ds = SyntheticSemsegDataset(num_scenes=1, points=800)
+    s = ds.__getitem__(0, rng=np.random.RandomState(0))
+    scheme = PadScheme(npad0=2048)
+    for n in (1, 2):
+        b = collate_semseg([s], scheme, rng=np.random.RandomState(0),
+                           layout=f"brick:{n}")
+        depth = sum(isinstance(l.nbr, BrickMap) for l in b.pyramid.levels)
+        assert depth == n, (n, depth)
+
+
 def make_coords(n=400, extent=16, num_batch=2, seed=0):
     rng = np.random.RandomState(seed)
     coords = rng.randint(0, extent, size=(n * 2, 4))

@@ -288,3 +288,10 @@ class TestSemsegViz:
         np.testing.assert_array_equal(ppred, vpred)
         np.testing.assert_allclose(pout, vout)
         np.testing.assert_array_equal(ptgt, pts[:, 4].astype(int))
+
+        # raw labels absent from label_map score as ignore, not class 0
+        pts_gap = pts.copy()
+        pts_gap[:, 4] = 40  # raw id with no label_map entry
+        _, _, ptgt_gap = permute_pointcloud(
+            coords, pts_gap, tf, {i: i for i in range(6)}, vout, vpred)
+        assert (ptgt_gap == 255).all()
