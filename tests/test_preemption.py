@@ -60,6 +60,31 @@ def test_requeue_marker_roundtrip(tmp_path):
     preemption.clear_requeue_marker(str(tmp_path))  # idempotent
 
 
+def test_run_with_requeue_script(tmp_path):
+    """The wrapper restarts on the requeue code and passes through others."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = os.path.join(repo, "scripts", "run_with_requeue.sh")
+    marker = tmp_path / "ran_once"
+    # exits 3 (requeue) on the first run, 0 after restart
+    job = tmp_path / "job.sh"
+    job.write_text(
+        "#!/bin/bash\n"
+        f"if [ ! -e {marker} ]; then touch {marker}; exit 3; fi\n"
+        "exit 0\n"
+    )
+    job.chmod(0o755)
+    r = subprocess.run(["bash", script, "bash", str(job)],
+                       capture_output=True, text=True, timeout=60)
+    assert r.returncode == 0, r.stderr
+    assert "restarting" in r.stderr
+    # non-requeue failures pass through untouched
+    r2 = subprocess.run(["bash", script, "bash", "-c", "exit 7"],
+                        capture_output=True, text=True, timeout=60)
+    assert r2.returncode == 7
+
+
 def test_trainer_preempt_checkpoint_and_resume(tmp_path):
     ckpt_dir = str(tmp_path / "weights")
     cfg = PretrainConfig(mode="nce", npos=128, max_iter=100, stat_freq=1,

@@ -286,3 +286,50 @@ class TestSemsegEndToEnd:
         ])
         losses = [m["loss"] for _, m in history]
         assert all(np.isfinite(l) for l in losses)
+
+
+class TestIterSizeAccumulation:
+    def test_stacked_step_equals_plain_on_identical_subbatches(self):
+        """iter_size=2 with two IDENTICAL sub-batches must produce exactly
+        the iter_size=1 update (mean of equal grads == the grad), pinning
+        the lax.scan accumulation semantics (reference lib/train.py:96-157)."""
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        from pointcontrast_tpu.data.collate import PadScheme
+        from pointcontrast_tpu.nn.registry import load_model
+        from pointcontrast_tpu.semseg.dataset import collate_semseg
+        from pointcontrast_tpu.semseg.datasets.synthetic import (
+            SyntheticSemsegDataset,
+        )
+        from pointcontrast_tpu.semseg.train import (
+            SemsegConfig,
+            make_semseg_train_step,
+        )
+        from pointcontrast_tpu.train.state import create_train_state
+
+        ds = SyntheticSemsegDataset(num_scenes=1, points=800)
+        s = ds.__getitem__(0, rng=np.random.RandomState(0))
+        batch = collate_semseg([s], PadScheme(npad0=2048),
+                               rng=np.random.RandomState(0))
+        stacked = jax.tree.map(
+            lambda x: np.stack([x, x], axis=0) if hasattr(x, "ndim") else x,
+            batch,
+        )
+        model = load_model("Res16UNet14A")(in_channels=3,
+                                           out_channels=ds.num_classes)
+        state = create_train_state(
+            jax.random.PRNGKey(0), model, optax.sgd(0.1),
+            (batch.feats, batch.pyramid),
+        )
+        step1 = jax.jit(lambda st, b: make_semseg_train_step(
+            SemsegConfig(iter_size=1))(st, b))
+        step2 = jax.jit(lambda st, b: make_semseg_train_step(
+            SemsegConfig(iter_size=2))(st, b))
+        s1, m1 = step1(state, batch)
+        s2, m2 = step2(state, stacked)
+        assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-6
+        for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=2e-6)
