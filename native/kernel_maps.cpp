@@ -81,24 +81,21 @@ void pc_encode_keys(const int32_t* coords, int64_t n, const int64_t* lo,
   }
 }
 
-// Same-level gather map.
-//   keys:      [n] packed coordinate keys (any exact packing)
-//   off_keys:  [k] key deltas per kernel offset
-//   nbr:       [k * npad] output, prefilled by caller semantics: this
-//              function writes all entries; missing -> pad (npad-1).
-void pc_same_level_map(const int64_t* keys, int64_t n, const int64_t* off_keys,
-                       int64_t k, int64_t npad, int32_t* nbr) {
+// Gather-map hash join: probe base[i] + off_keys[kk] against a hash of
+// keys.  Serves both same-level maps (base == keys) and down / strided
+// maps (base = doubled coarse keys).  out is [k * m] int32; missing -> pad.
+void pc_query_map(const int64_t* keys, int64_t n, const int64_t* base,
+                  int64_t m, const int64_t* off_keys, int64_t k, int32_t pad,
+                  int32_t* out) {
   HashTable table(static_cast<size_t>(n));
   for (int64_t i = 0; i < n; ++i) table.insert(keys[i], static_cast<int32_t>(i));
-  const int32_t pad = static_cast<int32_t>(npad - 1);
   for (int64_t kk = 0; kk < k; ++kk) {
     const int64_t dk = off_keys[kk];
-    int32_t* row = nbr + kk * npad;
-    for (int64_t i = 0; i < n; ++i) {
-      const int32_t v = table.find(keys[i] + dk);
+    int32_t* row = out + kk * m;
+    for (int64_t i = 0; i < m; ++i) {
+      const int32_t v = table.find(base[i] + dk);
       row[i] = v >= 0 ? v : pad;
     }
-    for (int64_t i = n; i < npad; ++i) row[i] = pad;
   }
 }
 

@@ -196,15 +196,28 @@ class SparseLayerNorm(nn.Module):
 
     @nn.compact
     def __call__(self, features, valid, batch, num_batch: int):
-        # The reference normalizes per sample over all voxels and channels
-        # jointly via global pooling of mean only (affine per channel).
+        # The reference normalizes per sample with SCALAR moments over all
+        # voxels and channels jointly: mean = glob_mean(x).mean(-1),
+        # var = glob_mean((x - mean)^2).mean(-1), out = (x - mean) /
+        # sqrt(var + eps) * w + b (lib/layers.py:41-51).
         c = features.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
         f = features.astype(jnp.float32)
-        mean = ops.global_pool(f, batch, num_batch, average=True)
-        centered = ops.mask_rows(f - ops.broadcast_to_points(mean, batch), valid)
-        out = centered * scale + bias
+        mean = ops.global_pool(f, batch, num_batch, average=True)  # [B, C]
+        mean = mean.mean(-1, keepdims=True)  # [B, 1] scalar per sample
+        centered = ops.mask_rows(
+            f - ops.broadcast_to_points(
+                jnp.broadcast_to(mean, (num_batch, c)), batch),
+            valid,
+        )
+        var = ops.global_pool(
+            centered * centered, batch, num_batch, average=True
+        ).mean(-1, keepdims=True)  # [B, 1]
+        instd = 1.0 / jnp.sqrt(var + self.epsilon)
+        out = centered * ops.broadcast_to_points(
+            jnp.broadcast_to(instd, (num_batch, c)), batch
+        ) * scale + bias
         return ops.mask_rows(out.astype(self.dtype), valid)
 
 

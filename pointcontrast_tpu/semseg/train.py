@@ -388,21 +388,32 @@ class SemsegTrainer:
             feed = device_prefetch(stacked(), sharding=sharding)
         else:
             feed = device_prefetch(self.train_loader, sharding=sharding)
-        while int(self.state.step) < target:
+        # Host-side iteration counter: int(self.state.step) would block on
+        # the in-flight device step every iteration, serializing dispatch.
+        # Step time is accounted per stat window (wall - data), the only
+        # honest per-step figure once dispatch is pipelined.
+        curr = int(self.state.step)
+        win_t0, win_data, win_iters = time.perf_counter(), 0.0, 0
+        while curr < target:
             t0 = time.perf_counter()
             if batch is None:
                 batch = next(feed)
-            data_meter.update(time.perf_counter() - t0)
-            step_timer.tic()
+            dt = time.perf_counter() - t0
+            data_meter.update(dt)
+            win_data += dt
             step_fn = self._step
             if self._step_nofilter is not None and self._coin.rand() >= 0.5:
                 step_fn = self._step_nofilter
             self.state, metrics = step_fn(self.state, batch)
             batch = None
-            step_timer.toc()
-            curr = int(self.state.step)
+            curr += 1
+            win_iters += 1
             if curr % cfg.stat_freq == 0 or curr == target:
                 m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                step_timer.avg = (
+                    time.perf_counter() - win_t0 - win_data
+                ) / win_iters
+                win_t0, win_data, win_iters = time.perf_counter(), 0.0, 0
                 history.append((curr, m))
                 writer.add_scalars(m, curr, prefix="train/")
                 log.info(

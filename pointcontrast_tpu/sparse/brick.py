@@ -330,6 +330,33 @@ def _brick_sym_fwd(features, nbr, weights, plan, rev):
     return _brick_core(features, nbr, weights, plan), (features, nbr, weights)
 
 
+def _slot_slice(x, nb, c, ranges, plan):
+    """Brick rows (any layout reshapeable to [NB, ns, c]) restricted to a
+    per-axis slot range -> [NB, n_range * c] (the range covering all slots
+    is a plain reshape).  The ONE place that encodes the slot-axis ordering
+    (slowest spatial axis first, reversed range list) — shared by the
+    forward and the custom backward so the convention cannot drift."""
+    ns, dim = plan.num_slots, plan.dimension
+    n_r = int(np.prod([hi - lo for lo, hi in ranges]))
+    if n_r == ns:
+        return x.reshape(nb, ns * c), n_r
+    g = x.reshape((nb,) + (2,) * dim + (c,))
+    sl = tuple(slice(*ranges[dim - 1 - j]) for j in range(dim))
+    return g[(slice(None),) + sl].reshape(nb, n_r * c), n_r
+
+
+def _step_sources(features, f_rows, nbr, plan, step):
+    """Gathered + slot-sliced source block ``gs [NB, n_s*cin]`` for one plan
+    step (shared between _brick_core and _brick_sym_bwd)."""
+    d_idx, s_ranges, p_ranges, taps, is_center = step
+    nb = nbr.shape[1]
+    cin = features.shape[-1]
+    g = features if is_center else jnp.take(f_rows, nbr[d_idx], axis=0)
+    gs, n_s = _slot_slice(g, nb, cin, s_ranges, plan)
+    n_p = int(np.prod([hi - lo for lo, hi in p_ranges]))
+    return gs, n_s, n_p
+
+
 def _brick_sym_bwd(plan, rev, res, ct):
     """d_features is the same brick conv applied to the cotangent with
     weights W'[t] = W[-t]^T (pad/empty-slot cotangents are zero because the
@@ -345,29 +372,15 @@ def _brick_sym_bwd(plan, rev, res, ct):
 
     nb = nbr.shape[1]
     ns = plan.num_slots
-    dim = plan.dimension
     cin = features.shape[-1]
     cout = ct.shape[-1]
     f_rows = features.reshape(nb, ns * cin)
-    grid = (2,) * dim
     f32 = jnp.float32
     dw_blocks: dict = {}
-    for d_idx, s_ranges, p_ranges, taps, is_center in plan.steps:
-        n_s = int(np.prod([hi - lo for lo, hi in s_ranges]))
-        n_p = int(np.prod([hi - lo for lo, hi in p_ranges]))
-        g = features if is_center else jnp.take(f_rows, nbr[d_idx], axis=0)
-        if n_s == ns:
-            gs = g.reshape(nb, ns * cin)
-        else:
-            g = g.reshape((nb,) + grid + (cin,))
-            sl = tuple(slice(*s_ranges[dim - 1 - j]) for j in range(dim))
-            gs = g[(slice(None),) + sl].reshape(nb, n_s * cin)
-        if n_p == ns:
-            cp = ct.reshape(nb, ns * cout)
-        else:
-            c5 = ct.reshape((nb,) + grid + (cout,))
-            sl = tuple(slice(*p_ranges[dim - 1 - j]) for j in range(dim))
-            cp = c5[(slice(None),) + sl].reshape(nb, n_p * cout)
+    for step in plan.steps:
+        taps = step[3]
+        gs, n_s, n_p = _step_sources(features, f_rows, nbr, plan, step)
+        cp, _ = _slot_slice(ct, nb, cout, step[2], plan)
         m = jnp.dot(gs.astype(f32).T, cp.astype(f32),
                     preferred_element_type=f32)
         m = m.reshape(n_s, cin, n_p, cout)
@@ -398,18 +411,10 @@ def _brick_core(
     cin = features.shape[-1]
     cout = weights.shape[-1]
     f_rows = features.reshape(nb, ns * cin)
-    grid = (2,) * dim  # slot axes, slowest spatial axis first
     acc: list = [None] * ns
-    for d_idx, s_ranges, p_ranges, taps, is_center in plan.steps:
-        n_s = int(np.prod([hi - lo for lo, hi in s_ranges]))
-        n_p = int(np.prod([hi - lo for lo, hi in p_ranges]))
-        g = features if is_center else jnp.take(f_rows, nbr[d_idx], axis=0)
-        if n_s == ns:
-            gs = g.reshape(nb, ns * cin)
-        else:
-            g = g.reshape((nb,) + grid + (cin,))
-            sl = tuple(slice(*s_ranges[dim - 1 - j]) for j in range(dim))
-            gs = g[(slice(None),) + sl].reshape(nb, n_s * cin)
+    for step in plan.steps:
+        _, _, p_ranges, taps, _ = step
+        gs, n_s, n_p = _step_sources(features, f_rows, nbr, plan, step)
         tap_m = np.asarray(taps)
         wd = jnp.take(weights, np.maximum(tap_m, 0).reshape(-1), axis=0)
         wd = wd.reshape(n_s, n_p, cin, cout)

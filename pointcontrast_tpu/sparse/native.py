@@ -88,13 +88,14 @@ def get_lib():
         i64p = ctypes.POINTER(ctypes.c_int64)
         i32p = ctypes.POINTER(ctypes.c_int32)
         lib.pc_encode_keys.argtypes = [i32p, ctypes.c_int64, i64p, i64p, i64p]
-        lib.pc_same_level_map.argtypes = [
-            i64p, ctypes.c_int64, i64p, ctypes.c_int64, ctypes.c_int64, i32p
-        ]
         lib.pc_downsample.argtypes = [
             i32p, ctypes.c_int64, i64p, i64p, i32p, i32p
         ]
         lib.pc_downsample.restype = ctypes.c_int64
+        lib.pc_query_map.argtypes = [
+            i64p, ctypes.c_int64, i64p, ctypes.c_int64, i64p, ctypes.c_int64,
+            ctypes.c_int32, i32p,
+        ]
         _LIB = lib
     return _LIB
 
@@ -103,20 +104,22 @@ def _ptr(a: np.ndarray, ctype):
     return a.ctypes.data_as(ctypes.POINTER(ctype))
 
 
-def same_level_map(keys: np.ndarray, off_keys: np.ndarray, npad: int) -> np.ndarray:
-    """Native variant of topology._same_level_map's core (keys already
-    encoded; returns nbr [K, npad] int32)."""
+def query_map(keys: np.ndarray, base: np.ndarray, off_keys: np.ndarray,
+              pad: int) -> np.ndarray:
+    """Cross-level variant of same_level_map: probe ``base + off`` against a
+    hash of ``keys``.  Returns [K, len(base)] int32 (missing -> pad)."""
     lib = get_lib()
     assert lib is not None
-    n, k = len(keys), len(off_keys)
     keys = np.ascontiguousarray(keys, dtype=np.int64)
+    base = np.ascontiguousarray(base, dtype=np.int64)
     off_keys = np.ascontiguousarray(off_keys, dtype=np.int64)
-    nbr = np.empty((k, npad), dtype=np.int32)
-    lib.pc_same_level_map(
-        _ptr(keys, ctypes.c_int64), n, _ptr(off_keys, ctypes.c_int64), k,
-        npad, _ptr(nbr, ctypes.c_int32),
+    out = np.empty((len(off_keys), len(base)), dtype=np.int32)
+    lib.pc_query_map(
+        _ptr(keys, ctypes.c_int64), len(keys), _ptr(base, ctypes.c_int64),
+        len(base), _ptr(off_keys, ctypes.c_int64), len(off_keys),
+        pad, _ptr(out, ctypes.c_int32),
     )
-    return nbr
+    return out
 
 
 def downsample(coords: np.ndarray, lo: np.ndarray, stride: np.ndarray):

@@ -57,6 +57,12 @@ def bucket_size(n: int, base: int = _BUCKET_BASE) -> int:
     return b
 
 
+# flax.struct needs a type annotation object; arrays may be numpy or jax.
+# (must precede LevelTopo: only the from-__future__ lazy annotations keep a
+# later definition working, and that is one typing/flax change from breaking)
+jnp_array = object
+
+
 @struct.dataclass
 class LevelTopo:
     """Static-shaped per-level gather maps (device-side pytree)."""
@@ -76,10 +82,6 @@ class LevelTopo:
     rev0: Optional[tuple] = struct.field(pytree_node=False, default=None)
 
 
-# flax.struct needs a type annotation object; arrays may be numpy or jax.
-jnp_array = object
-
-
 @struct.dataclass
 class Pyramid:
     levels: tuple
@@ -95,6 +97,29 @@ class PyramidMeta:
     npads: list  # padded size per level
     dimension: int
     truncated: list  # (level, n_dropped) pairs when allow_truncate kicked in
+
+
+def _key_join(keys: np.ndarray, base: np.ndarray, off_keys: np.ndarray,
+              pad: int) -> np.ndarray:
+    """[K, len(base)] indices into ``keys``'s row order for every query
+    ``base[i] + off_keys[k]``; misses map to ``pad``.  The single hash-join
+    primitive behind every gather map (native hash table when available,
+    sorted-key searchsorted otherwise)."""
+    from pointcontrast_tpu.sparse import native
+
+    if native.get_lib() is not None:
+        return native.query_map(keys, base, off_keys, pad)
+
+    n = len(keys)
+    qkeys = base[None, :].astype(np.int64) + off_keys[:, None]  # [K, M]
+    if n == 0:
+        return np.full(qkeys.shape, pad, dtype=np.int32)
+    order = np.argsort(keys)
+    skeys = keys[order]
+    pos = np.searchsorted(skeys, qkeys.ravel()).reshape(qkeys.shape)
+    pos_c = np.minimum(pos, n - 1)
+    found = skeys[pos_c] == qkeys
+    return np.where(found, order[pos_c], pad).astype(np.int32)
 
 
 def _same_level_map(
@@ -113,20 +138,8 @@ def _same_level_map(
     keys = spec.encode(coords)  # [N]
     off_keys = offsets.astype(np.int64) @ spec.stride[1:]  # [K]
 
-    from pointcontrast_tpu.sparse import native
-
-    if native.get_lib() is not None:
-        return native.same_level_map(keys, off_keys, npad)
-
-    order = np.argsort(keys)
-    skeys = keys[order]
-    qkeys = keys[None, :] + off_keys[:, None]  # [K, N]
-    pos = np.searchsorted(skeys, qkeys.ravel()).reshape(qkeys.shape)
-    pos_c = np.minimum(pos, n - 1)
-    found = skeys[pos_c] == qkeys
-    nbr = np.where(found, order[pos_c], pad).astype(np.int32)
     out = np.full((len(offsets), npad), pad, dtype=np.int32)
-    out[:, :n] = nbr
+    out[:, :n] = _key_join(keys, keys, off_keys, pad)
     return out
 
 
@@ -304,17 +317,11 @@ def build_pyramid(
             down_nbr = np.full((len(offs2), npad_next), npad - 1, dtype=np.int32)
             fine_spec = HashSpec.from_coords(cur, margin=2)
             fine_keys = fine_spec.encode(cur)
-            order = np.argsort(fine_keys)
-            skeys = fine_keys[order]
             doubled = coarse.astype(np.int64).copy()
             doubled[:, 1:] *= np.where(sa, 2, 1)[None, :]
             base = fine_spec.encode(doubled)  # [nc]
             off_keys = offs2.astype(np.int64) @ fine_spec.stride[1:]
-            qkeys = base[None, :] + off_keys[:, None]  # [K2, nc]
-            pos = np.searchsorted(skeys, qkeys.ravel()).reshape(qkeys.shape)
-            pos_c = np.minimum(pos, n - 1)
-            found = skeys[pos_c] == qkeys
-            down_nbr[:, :nc] = np.where(found, order[pos_c], npad - 1)
+            down_nbr[:, :nc] = _key_join(fine_keys, base, off_keys, npad - 1)
 
             level.update(
                 down_nbr=_shrink_idx(down_nbr, npad),
@@ -325,12 +332,8 @@ def build_pyramid(
             if build_down3:
                 offs3s = kernel_offsets(3, dimension, "hypercube")
                 off3_keys = offs3s.astype(np.int64) @ fine_spec.stride[1:]
-                q3 = base[None, :] + off3_keys[:, None]  # [27, nc]
-                pos3 = np.searchsorted(skeys, q3.ravel()).reshape(q3.shape)
-                pos3_c = np.minimum(pos3, n - 1)
-                found3 = skeys[pos3_c] == q3
                 down_nbr3 = np.full((len(offs3s), npad_next), npad - 1, dtype=np.int32)
-                down_nbr3[:, :nc] = np.where(found3, order[pos3_c], npad - 1)
+                down_nbr3[:, :nc] = _key_join(fine_keys, base, off3_keys, npad - 1)
                 level.update(down_nbr3=_shrink_idx(down_nbr3, npad))
 
             cur = coarse

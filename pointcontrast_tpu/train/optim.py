@@ -79,13 +79,27 @@ def adam(
 # --- schedulers: return multiplicative LR factor for a given step ---------
 
 
-def exp_lr(gamma: float, update_freq: int = 1):
-    """ExponentialLR stepped every ``update_freq`` iterations: the pretrain
-    trainer calls scheduler.step() once per lr_update_freq iters
-    (ddp_trainer.py:258-263), so the exponent is step // update_freq."""
+def exp_lr(gamma: float, update_freq: int = 1, stepped: bool = False):
+    """The reference has TWO ExpLR cadences:
+
+    - semseg (``stepped=False``): ``gamma ** (s / step_size)`` with FLOAT
+      division, stepped every iteration (solvers.py:40-47).
+    - pretrain (``stepped=True``): torch ExponentialLR advanced by the loop
+      ``if curr_iter % freq == 0 or curr_iter == 1: scheduler.step()``
+      (ddp_trainer.py:258-260), always AFTER the iteration trained with the
+      current LR.  With optax's 0-indexed update count ``s`` (iteration
+      ``s+1``) the exponent is 0 at s=0 and ``s//freq + 1`` after (the +1
+      is the extra step() fired at curr_iter==1).
+    """
 
     def factor(step):
-        return gamma ** (step // update_freq)
+        import jax.numpy as jnp
+
+        if stepped:
+            return jnp.where(
+                step == 0, 1.0, gamma ** (step // update_freq + 1)
+            )
+        return gamma ** (step / update_freq)
 
     return factor
 
@@ -116,7 +130,10 @@ def make_scheduler(name: str, config) -> "callable":
     reference's opt group (solvers.py:52-83)."""
     name = name.lower()
     if name == "explr":
-        return exp_lr(config.exp_gamma, getattr(config, "exp_step_size", 1))
+        return exp_lr(
+            config.exp_gamma, getattr(config, "exp_step_size", 1),
+            stepped=getattr(config, "pretrain_step_cadence", False),
+        )
     if name == "polylr":
         return poly_lr(config.max_iter, getattr(config, "poly_power", 0.9))
     if name == "steplr":

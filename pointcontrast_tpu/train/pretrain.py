@@ -129,7 +129,8 @@ class PretrainTrainer:
         schedule = optim.make_scheduler(
             config.scheduler,
             _NS(exp_gamma=config.exp_gamma, max_iter=config.max_iter,
-                exp_step_size=config.lr_update_freq),
+                exp_step_size=config.lr_update_freq,
+                pretrain_step_cadence=True),
         )
         tx = optim.make_optimizer(config.optimizer, config.lr, schedule, config)
         rng = rng if rng is not None else jax.random.PRNGKey(0)
@@ -195,18 +196,29 @@ class PretrainTrainer:
 
             sharding = NamedSharding(self.mesh, PartitionSpec("data"))
         feed = device_prefetch(self.loader, sharding=sharding)
-        while int(self.state.step) < target:
+        # Host-side iteration counter: int(self.state.step) would block on
+        # the in-flight device step every iteration, serializing dispatch.
+        # Step time is therefore accounted per stat window (wall - data),
+        # the only honest per-step figure once dispatch is pipelined.
+        curr = int(self.state.step)
+        win_t0, win_data, win_iters = time.perf_counter(), 0.0, 0
+        while curr < target:
             t0 = time.perf_counter()
             if batch is None:
                 batch = next(feed)
-            data_meter.update(time.perf_counter() - t0)
-            step_timer.tic()
+            dt = time.perf_counter() - t0
+            data_meter.update(dt)
+            win_data += dt
             self.state, metrics = self._step(self.state, batch)
             batch = None
-            curr = int(self.state.step)
+            curr += 1
+            win_iters += 1
             if curr % cfg.stat_freq == 0 or curr == target:
-                metrics = jax.device_get(metrics)
-                step_timer.toc()
+                metrics = jax.device_get(metrics)  # syncs the window
+                step_timer.avg = (
+                    time.perf_counter() - win_t0 - win_data
+                ) / win_iters
+                win_t0, win_data, win_iters = time.perf_counter(), 0.0, 0
                 scalars = {k: float(v) for k, v in metrics.items()}
                 history.append((curr, scalars))
                 writer.add_scalars(scalars, curr, prefix="train/")
@@ -222,8 +234,6 @@ class PretrainTrainer:
                         "this batch — PadScheme level ratios too tight",
                         curr, scalars["truncated_voxels"],
                     )
-            else:
-                step_timer.toc()
             if curr % cfg.save_freq == 0 or curr == target:
                 save_checkpoint(cfg.checkpoint_dir, curr, self.state)
             if self.preemption_guard is not None and self.preemption_guard.preempted:
