@@ -45,6 +45,17 @@ class _BatchLoader:
             voxel_size=self.voxel_size, scheme=self.scheme,
         )
 
+    def epoch(self):
+        """One deterministic full pass in dataset order (validation: every
+        scene exactly once per evaluate, like the reference's val loop; the
+        final partial batch costs one extra cached compile)."""
+        for start in range(0, len(self.dataset), self.batch_size):
+            idxs = range(start, min(start + self.batch_size, len(self.dataset)))
+            yield self.collate(
+                [self.dataset[i] for i in idxs],
+                voxel_size=self.voxel_size, scheme=self.scheme,
+            )
+
 
 def main(argv: list[str] | None = None):
     from pointcontrast_tpu.utils.platform import honor_env_platform
@@ -178,13 +189,13 @@ def main(argv: list[str] | None = None):
     guard = preemption.PreemptionGuard()
     trainer.preemption_guard = guard
     steps_per_epoch = max(1, len(train_ds) // cfg.data.batch_size)
-    val_batches = max(1, len(val_ds) // cfg.data.batch_size)
     try:
         for epoch in range(trainer.epoch, cfg.optimizer.max_epoch):
             loss = trainer.train_epoch(train_loader, steps_per_epoch)
             log.info("epoch %d loss %.4f", epoch, loss)
             if (epoch + 1) % cfg.eval.eval_every == 0:
-                metrics = trainer.evaluate(val_loader, val_batches)
+                # full deterministic val pass: every scene exactly once
+                metrics = trainer.evaluate(val_loader.epoch())
                 for t, m in metrics.items():
                     log.info("epoch %d AP@%.2f mAP %.4f AR %.4f",
                              epoch, t, m["mAP"], m["AR"])

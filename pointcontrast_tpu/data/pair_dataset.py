@@ -114,8 +114,10 @@ class PairDatasetBase:
         coords1 = np.floor(xyz1 / self.voxel_size)
 
         if self.transform is not None:
-            coords0, feats0 = self.transform(coords0, feats0)
-            coords1, feats1 = self.transform(coords1, feats1)
+            # thread the per-task rng through: global np.random is neither
+            # reproducible nor thread-safe under the loader's pool
+            coords0, feats0 = self.transform(coords0, feats0, rng=rng)
+            coords1, feats1 = self.transform(coords1, feats1, rng=rng)
 
         return (
             xyz0.astype(np.float32),

@@ -13,9 +13,9 @@ class Compose:
     def __init__(self, transforms):
         self.transforms = list(transforms)
 
-    def __call__(self, coords, feats):
+    def __call__(self, coords, feats, rng: np.random.RandomState | None = None):
         for t in self.transforms:
-            coords, feats = t(coords, feats)
+            coords, feats = t(coords, feats, rng=rng)
         return coords, feats
 
 

@@ -289,6 +289,24 @@ def collate_detection(
             order = np.argsort(ukeys)
             pos = np.searchsorted(ukeys[order], keys)
             pvi_l.append(order[np.minimum(pos, len(order) - 1)])
+        npad0 = scheme.npads[0]
+        budget = npad0 - 1
+        total = sum(len(c) for c in coords_l)
+        orphan_row = npad0 - 1  # level-0 pad row: zero features
+        if total > budget:
+            # Evenly subsample each sample's voxel set (the safety valve the
+            # pair/semseg collators have); points whose voxel is dropped
+            # gather the zero pad row — graceful, like coarse truncation.
+            rng = np.random.RandomState(0)
+            ratio = budget / total * 0.999
+            for b in range(len(samples)):
+                n = len(coords_l[b])
+                keep = max(1, int(n * ratio))
+                keep_idx = np.sort(rng.choice(n, keep, replace=False))
+                remap = np.full(n, -1, np.int64)
+                remap[keep_idx] = np.arange(keep)
+                coords_l[b] = coords_l[b][keep_idx]
+                pvi_l[b] = remap[pvi_l[b]]
         lens = [len(c) for c in coords_l]
         offs = np.cumsum([0] + lens[:-1])
         coords = np.concatenate(
@@ -303,11 +321,13 @@ def collate_detection(
             coords, num_levels=scheme.num_levels, npads=scheme.npads,
             num_batch=len(samples),
         )
-        npad0 = scheme.npads[0]
         feats = np.zeros((npad0, 3), np.float32)
         feats[: len(coords)] = 1.0
         pvi = np.stack(
-            [pvi_l[b] + offs[b] for b in range(len(samples))]
+            [
+                np.where(pvi_l[b] >= 0, pvi_l[b] + offs[b], orphan_row)
+                for b in range(len(samples))
+            ]
         ).astype(np.int32)
         batch.update(
             voxel_feats=feats, voxel_pyramid=pyr, point_voxel_idx=pvi

@@ -70,7 +70,19 @@ def get_bn_momentum(epoch: int, config: DetectConfig) -> float:
 
 def make_detect_train_step(model, dataset_config, lr_schedule=None):
     """step(state, batch_dict) -> (state, metrics); Adam via optax (the LR
-    is set per epoch through inject_hyperparams, see DetectTrainer.set_lr)."""
+    is set per epoch through inject_hyperparams, see DetectTrainer.set_lr).
+
+    BoxNet (``use_voting=False``) has no vote branch: it trains with
+    ``get_loss_boxnet`` (reference loss_helper_boxnet.py), selected here
+    from the model flag."""
+    from pointcontrast_tpu.detect.loss import get_loss_boxnet
+
+    voting = getattr(model, "use_voting", True)
+    loss_of = get_loss if voting else get_loss_boxnet
+    metric_keys = (
+        "loss", "vote_loss", "objectness_loss", "box_loss",
+        "sem_cls_loss", "obj_acc", "pos_ratio", "neg_ratio",
+    )  # get_loss_boxnet reports vote_loss = 0
 
     def step(state: TrainState, batch):
         inputs = _batch_to_inputs(batch)
@@ -82,14 +94,8 @@ def make_detect_train_step(model, dataset_config, lr_schedule=None):
                 variables, inputs, train=True, mutable=["batch_stats"]
             )
             end_points.update(labels)
-            loss, end_points = get_loss(end_points, dataset_config)
-            metrics = {
-                k: end_points[k]
-                for k in (
-                    "loss", "vote_loss", "objectness_loss", "box_loss",
-                    "sem_cls_loss", "obj_acc", "pos_ratio", "neg_ratio",
-                )
-            }
+            loss, end_points = loss_of(end_points, dataset_config)
+            metrics = {k: end_points[k] for k in metric_keys}
             return loss, (mut["batch_stats"], metrics)
 
         (_, (bs, metrics)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -227,7 +233,10 @@ class DetectTrainer:
         self.epoch += 1
         return float(np.mean(losses))
 
-    def evaluate(self, loader, num_batches: int):
+    def evaluate(self, loader, num_batches: int | None = None):
+        """AP over ``num_batches`` draws from an infinite loader, or — with
+        ``num_batches=None`` — over a finite iterator drained to exhaustion
+        (pass ``_BatchLoader.epoch()`` for a deterministic full val pass)."""
         cfg = self.config
         calcs = {
             t: APCalculator(t, self.dc.class2type) for t in cfg.ap_iou_thresholds
@@ -242,8 +251,11 @@ class DetectTrainer:
             "per_class_proposal": cfg.per_class_proposal,
             "conf_thresh": cfg.conf_thresh,
         }
-        for _ in range(num_batches):
-            batch = next(loader)
+        if num_batches is None:
+            batches = iter(loader)
+        else:
+            batches = (next(loader) for _ in range(num_batches))
+        for batch in batches:
             inputs = _batch_to_inputs(batch)
             end_points = self._eval_apply(
                 self.state.params, self.state.batch_stats, inputs

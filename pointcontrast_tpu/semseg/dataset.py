@@ -12,9 +12,6 @@ ignore_label so the CE loss masks them for free.
 """
 from __future__ import annotations
 
-import queue
-import threading
-from concurrent.futures import ThreadPoolExecutor
 from typing import Any
 
 import numpy as np
@@ -25,7 +22,7 @@ from pointcontrast_tpu.data.collate import (
     _concat_with_batch_index,
     parse_layout,
 )
-from pointcontrast_tpu.data.sampler import DistributedInfSampler
+from pointcontrast_tpu.data.loader import PrefetchLoaderBase
 from pointcontrast_tpu.semseg.voxelizer import Voxelizer
 from pointcontrast_tpu.sparse.quantize import sparse_quantize
 from pointcontrast_tpu.sparse.topology import build_pyramid
@@ -249,7 +246,10 @@ def collate_semseg(
             region=crf.get("region", "hypercross"),
         )
     if normalize_color:
-        feats = feats / 255.0 - 0.5
+        # only the RGB channels (train.py:115 `input[:, :3]`): appended
+        # channels (e.g. AUGMENT_COORDS_TO_FEATS centered coords) keep scale
+        feats = feats.astype(np.float32).copy()
+        feats[:, :3] = feats[:, :3] / 255.0 - 0.5
 
     n_levels = num_levels or scheme.num_levels
     kind, brick_levels = parse_layout(layout)
@@ -298,8 +298,9 @@ def collate_semseg(
     )
 
 
-class SemsegLoader:
-    """Prefetching loader for semseg batches (thread-pool, like PairLoader)."""
+class SemsegLoader(PrefetchLoaderBase):
+    """Prefetching loader for semseg batches (pipeline machinery shared
+    with PairLoader via PrefetchLoaderBase)."""
 
     def __init__(
         self,
@@ -324,36 +325,17 @@ class SemsegLoader:
         leading axis (the data-parallel mesh axis), like PairLoader."""
         self.layout = layout
         self.crf = crf
-        self.dataset = dataset
-        self.batch_size = batch_size
         self.scheme = scheme
         self.augment_shift = augment_shift
         self.limit_numpoints = limit_numpoints
         self.num_levels = num_levels
         self.conv0_kernel_size = conv0_kernel_size
-        self.num_device_batches = num_device_batches
-        self.sampler = DistributedInfSampler(
-            len(dataset), num_shards, shard_id, shuffle, seed
+        self._start_pipeline(
+            dataset, batch_size, num_device_batches, shuffle, seed,
+            num_shards, shard_id, num_workers, prefetch, rng_salt=17,
         )
-        self.rng = np.random.RandomState(seed + 17 * shard_id)
-        self._pool = ThreadPoolExecutor(max_workers=max(1, num_workers))
-        self._queue: queue.Queue = queue.Queue(maxsize=prefetch)
-        self._stop = threading.Event()
-        self._thread = threading.Thread(target=self._produce, daemon=True)
-        self._thread.start()
 
-    def _one_device_batch(self):
-        idxs = [next(self.sampler) for _ in range(self.batch_size)]
-        # per-task RNGs: RandomState is not thread-safe under the pool
-        seeds = [int(self.rng.randint(0, 2**31 - 1)) for _ in idxs]
-        samples = list(
-            self._pool.map(
-                lambda iv: self.dataset.__getitem__(
-                    iv[0], rng=np.random.RandomState(iv[1])
-                ),
-                zip(idxs, seeds),
-            )
-        )
+    def _collate(self, samples):
         return collate_semseg(
             samples,
             self.scheme,
@@ -366,44 +348,3 @@ class SemsegLoader:
             layout=self.layout,
             crf=self.crf,
         )
-
-    def _produce(self):
-        import jax
-
-        while not self._stop.is_set():
-            try:
-                if self.num_device_batches == 1:
-                    batch = self._one_device_batch()
-                else:
-                    parts = [
-                        self._one_device_batch()
-                        for _ in range(self.num_device_batches)
-                    ]
-                    batch = jax.tree.map(lambda *xs: np.stack(xs), *parts)
-            except Exception as e:
-                self._queue.put(e)
-                return
-            while not self._stop.is_set():
-                try:
-                    self._queue.put(batch, timeout=1.0)
-                    break
-                except queue.Full:
-                    continue
-
-    def __iter__(self):
-        return self
-
-    def __next__(self):
-        item = self._queue.get()
-        if isinstance(item, Exception):
-            raise item
-        return item
-
-    def close(self):
-        self._stop.set()
-        try:
-            while True:
-                self._queue.get_nowait()
-        except queue.Empty:
-            pass
-        self._pool.shutdown(wait=False)

@@ -118,6 +118,11 @@ class StanfordArea5Dataset(StanfordDataset):
         "train": ["area1.txt", "area2.txt", "area3.txt", "area4.txt", "area6.txt"],
         "val": ["area5.txt"],
         "test": ["area5.txt"],
+        # the reference's Area5 dict omits TrainVal (stanford.py:167-171);
+        # supported here as all six areas so the base class's phase surface
+        # is uniform across datasets
+        "trainval": ["area1.txt", "area2.txt", "area3.txt", "area4.txt",
+                     "area5.txt", "area6.txt"],
     }
 
 

@@ -73,8 +73,23 @@ def test_model(  # noqa: the reference names this "test" (lib/test.py:62)
         sample = dataset[i]
         coords, feats, labels = sample[:3]
         transformation = sample[3] if want_transform else None
+        sc = scheme
+        if len(coords) > scheme.npads[0] - 1:
+            # Inference must keep EVERY point (the exported rows are joined
+            # 1:1 against the original cloud): upsize to the next pad bucket
+            # instead of letting the collator subsample.  Bucketing keeps
+            # the number of distinct compiled programs O(log N).
+            import dataclasses as _dc
+
+            from pointcontrast_tpu.sparse.topology import bucket_size
+
+            sc = _dc.replace(scheme, npad0=bucket_size(len(coords)))
+            log.info(
+                "scene %d: %d voxels exceed npad0 %d, padding to %d",
+                i, len(coords), scheme.npads[0], sc.npad0,
+            )
         batch = collate_semseg(
-            [(coords, feats, labels)], scheme, ignore_label=ignore_label,
+            [(coords, feats, labels)], sc, ignore_label=ignore_label,
             shift_coords=False,
         )
         pred, prob = jax.device_get(eval_step(state, batch))

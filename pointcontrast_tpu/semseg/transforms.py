@@ -143,6 +143,9 @@ class RandomDropout:
 
     def __call__(self, coords, feats, labels, rng=None):
         r = _rng(rng)
+        # Faithful reference quirk (lib/transforms.py:154): the APPLICATION
+        # gate tests dropout_ratio, and dropout_application_ratio is stored
+        # but never used.  Kept bug-for-bug for training parity.
         if r.rand() < self.dropout_ratio:
             n = len(coords)
             inds = r.choice(n, int(n * (1 - self.dropout_ratio)), replace=False)
