@@ -66,6 +66,8 @@ class PrefetchLoaderBase:
         raise NotImplementedError
 
     def _one_device_batch(self):
+        import os
+
         idxs = [next(self.sampler) for _ in range(self.batch_size)]
         # np.random.RandomState is not thread-safe: hand each pool task its
         # own RNG seeded from the (single-threaded) producer stream.
@@ -78,7 +80,12 @@ class PrefetchLoaderBase:
                 zip(idxs, seeds),
             )
         )
-        return self._collate(samples)
+        batch = self._collate(samples)
+        if os.environ.get("PC_TPU_VALIDATE") == "1":
+            from pointcontrast_tpu.utils.debug import validate_batch
+
+            validate_batch(batch)
+        return batch
 
     def _produce(self):
         import jax

@@ -24,13 +24,20 @@ _collect(res16unet)
 
 def _collect_extra():
     """Families added after the core build (import lazily to keep cheap)."""
+    import logging
+
     try:
         from pointcontrast_tpu.nn import resunet, resnet
 
         _collect(resunet)
         _collect(resnet)
     except ImportError:
-        pass
+        # never swallow silently: load_model would later raise a misleading
+        # "model not found" for the whole ResUNet/ResNet families
+        logging.getLogger(__name__).exception(
+            "ResUNet/ResNet model families failed to import and are "
+            "missing from the registry"
+        )
 
 
 _collect_extra()

@@ -63,7 +63,6 @@ class MinkUNetBase(nn.Module):
         assert len(lv) >= NUM_LEVELS, "MinkUNet needs a 4-level pyramid"
         k_up = lv[0].down_nbr.shape[0]
         nb = pyramid.num_batch
-        exp = self.BLOCK.expansion
 
         def bn(name):
             return MaskedBatchNorm(self.bn_momentum, dtype=dtype, name=name)

@@ -44,12 +44,12 @@ class SEBasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, nbr, valid, train: bool = True, batch=None,
-                 num_batch: int = 1):
+                 num_batch: int = 1, rev=None):
         dtype = self.dtype or x.dtype
-        out = SparseConv(self.planes, self.kernel_volume, dtype=dtype)(x, nbr, valid)
+        out = SparseConv(self.planes, self.kernel_volume, dtype=dtype)(x, nbr, valid, rev)
         out = MaskedBatchNorm(self.bn_momentum, dtype=dtype)(out, valid, train)
         out = relu(out)
-        out = SparseConv(self.planes, self.kernel_volume, dtype=dtype)(out, nbr, valid)
+        out = SparseConv(self.planes, self.kernel_volume, dtype=dtype)(out, nbr, valid, rev)
         out = MaskedBatchNorm(self.bn_momentum, dtype=dtype)(out, valid, train)
         out = SELayer(self.planes, self.reduction, dtype=dtype, name="se")(
             out, valid, batch, num_batch
@@ -77,7 +77,7 @@ class SEBottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, x, nbr, valid, train: bool = True, batch=None,
-                 num_batch: int = 1):
+                 num_batch: int = 1, rev=None):
         dtype = self.dtype or x.dtype
 
         def bn(name):
@@ -85,7 +85,7 @@ class SEBottleneck(nn.Module):
 
         out = SparseLinear(self.planes, use_bias=False, dtype=dtype)(x, valid)
         out = relu(bn("norm1")(out, valid, train))
-        out = SparseConv(self.planes, self.kernel_volume, dtype=dtype)(out, nbr, valid)
+        out = SparseConv(self.planes, self.kernel_volume, dtype=dtype)(out, nbr, valid, rev)
         out = relu(bn("norm2")(out, valid, train))
         out = SparseLinear(self.planes * self.expansion, use_bias=False, dtype=dtype)(
             out, valid

@@ -13,6 +13,8 @@ both enumerate hypercube offsets x-fastest, so conversion is pure renaming:
   bn0.bn.{weight,bias}                  -> params/bn0/{scale,bias}
   bn0.bn.running_{mean,var}             -> batch_stats/bn0/{mean,var}
   blockS.I.convJ.kernel                 -> params/blockS_I/SparseConv_{J-1}/kernel
+    (Bottleneck blocks — detected by the presence of conv3 — map
+     conv1 -> SparseLinear_0, conv2 -> SparseConv_0, conv3 -> SparseLinear_1)
   blockS.I.normJ.bn.*                   -> params|batch_stats/blockS_I/MaskedBatchNorm_{J-1}/*
   blockS.I.downsample.0.kernel [1,i,o]  -> params/blockS_I/downsample_conv/kernel [i,o]
   blockS.I.downsample.1.bn.*            -> blockS_I/downsample_norm/*
@@ -55,11 +57,26 @@ def convert_state_dict(sd: Mapping[str, np.ndarray]):
     stats: dict = {}
     unmatched = []
 
+    # Bottleneck blocks (Res16UNet50/101 etc.) have conv3; their flax module
+    # orders submodules SparseLinear_0 (conv1 1x1), SparseConv_0 (conv2),
+    # SparseLinear_1 (conv3) — different from BasicBlock's SparseConv_{0,1}.
+    bottleneck_mods = {
+        (p[0], p[1])
+        for p in (n.split(".") for n in sd)
+        if len(p) > 2 and re.match(r"^block\d+$", p[0]) and p[2] == "conv3"
+    }
+
     def block_path(stage: str, idx: str, rest: list[str]):
         mod = f"{stage}_{idx}"
         head = rest[0]
+        bottleneck = (stage, idx) in bottleneck_mods
         if head in ("conv1", "conv2", "conv3"):
-            return [mod, f"SparseConv_{int(head[-1]) - 1}", "kernel"], "params"
+            if bottleneck:
+                sub = {"conv1": "SparseLinear_0", "conv2": "SparseConv_0",
+                       "conv3": "SparseLinear_1"}[head]
+            else:
+                sub = f"SparseConv_{int(head[-1]) - 1}"
+            return [mod, sub, "kernel"], "params"
         if head in ("norm1", "norm2", "norm3"):
             sub = f"MaskedBatchNorm_{int(head[-1]) - 1}"
             return [mod, sub], "bn"
@@ -124,11 +141,17 @@ def export_state_dict(params, batch_stats) -> dict:
     import jax
 
     sd: dict = {}
+    bottleneck_mods = {
+        str(mod)
+        for mod, sub in dict(params).items()
+        if re.match(r"^block\d+_\d+$", str(mod))
+        and "SparseLinear_0" in dict(sub)
+    }
 
     def emit(tree, is_stats: bool):
         for kp, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
             keys = [str(getattr(k, "key", k)) for k in kp]
-            name = _export_name(keys, is_stats)
+            name = _export_name(keys, is_stats, bottleneck_mods)
             if name is None:
                 raise ValueError(f"no reference name for leaf {keys}")
             sd[name] = np.asarray(leaf)
@@ -138,7 +161,7 @@ def export_state_dict(params, batch_stats) -> dict:
     return sd
 
 
-def _export_name(keys: list[str], is_stats: bool):
+def _export_name(keys: list[str], is_stats: bool, bottleneck_mods=frozenset()):
     bn_field = (
         {"mean": "running_mean", "var": "running_var"}
         if is_stats else {"scale": "weight", "bias": "bias"}
@@ -152,7 +175,12 @@ def _export_name(keys: list[str], is_stats: bool):
     if re.match(r"block\d+_\d+", keys[0]):
         stage, idx = keys[0].rsplit("_", 1)
         sub = keys[1]
+        if sub.startswith("SparseLinear_"):  # Bottleneck 1x1 convs
+            conv = {"SparseLinear_0": "conv1", "SparseLinear_1": "conv3"}[sub]
+            return f"{stage}.{idx}.{conv}.kernel"
         if sub.startswith("SparseConv_"):
+            if keys[0] in bottleneck_mods:
+                return f"{stage}.{idx}.conv2.kernel"
             return f"{stage}.{idx}.conv{int(sub.split('_')[1]) + 1}.kernel"
         if sub.startswith("MaskedBatchNorm_"):
             j = int(sub.split("_")[1]) + 1

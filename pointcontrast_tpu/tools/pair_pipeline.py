@@ -82,19 +82,26 @@ def _voxel_down(points: np.ndarray, voxel_size: float) -> np.ndarray:
     return points[sel]
 
 
-def compute_overlap_ratio(pcd0, pcd1, voxel_size: float) -> float:
-    """max of the two directed match fractions at 1.5x voxel radius
-    (compute_full_overlapping.py:29-37)."""
-    d0 = _voxel_down(pcd0, voxel_size)
-    d1 = _voxel_down(pcd1, voxel_size)
+def _overlap_of_downsampled(d0, d1, voxel_size: float) -> float:
+    """max of the two directed match fractions at 1.5x voxel radius on
+    pre-downsampled clouds; K=1 semantics (count source points with >=1
+    match) — the one place this formula lives."""
     if len(d0) == 0 or len(d1) == 0:
         return 0.0
     m01 = radius_matches(d0, d1, 1.5 * voxel_size)
     m10 = radius_matches(d1, d0, 1.5 * voxel_size)
-    # K=1 semantics: count source points with >=1 match
     n01 = len(np.unique(m01[:, 0])) if len(m01) else 0
     n10 = len(np.unique(m10[:, 0])) if len(m10) else 0
     return max(n01 / len(d0), n10 / len(d1))
+
+
+def compute_overlap_ratio(pcd0, pcd1, voxel_size: float) -> float:
+    """max of the two directed match fractions at 1.5x voxel radius
+    (compute_full_overlapping.py:29-37)."""
+    return _overlap_of_downsampled(
+        _voxel_down(pcd0, voxel_size), _voxel_down(pcd1, voxel_size),
+        voxel_size,
+    )
 
 
 def compute_scene_overlaps(scene_path: str, voxel_size: float = 0.05,
@@ -113,11 +120,7 @@ def compute_scene_overlaps(scene_path: str, voxel_size: float = 0.05,
             for j in range(i + 1, len(clouds)):
                 f0, d0 = clouds[i]
                 f1, d1 = clouds[j]
-                m01 = radius_matches(d0, d1, 1.5 * voxel_size)
-                m10 = radius_matches(d1, d0, 1.5 * voxel_size)
-                n01 = len(np.unique(m01[:, 0])) if len(m01) else 0
-                n10 = len(np.unique(m10[:, 0])) if len(m10) else 0
-                overlap = max(n01 / len(d0), n10 / len(d1))
+                overlap = _overlap_of_downsampled(d0, d1, voxel_size)
                 out.write(f"{f0} {f1} {overlap}\n")
     return out_path
 

@@ -134,8 +134,40 @@ def main(argv=None):
         delta = np.abs(out[:n] - ref_feats[:n]).max()
         print(f"max |delta| vs reference activations: {delta:.2e}")
         if delta > 1e-3 and args.probe_permutation:
-            print("probing kernel offset permutations is left to the full "
-                  "harness — rerun conversion with permuted kernels")
+            # Apply each of the 48 signed-axis-permutations to EVERY
+            # 27-offset kernel (conv + convtr share the enumeration) and
+            # re-run the forward; a clear winner diagnoses an offset-order
+            # mismatch and names the permutation to bake into conversion.
+            from pointcontrast_tpu.sparse.kernel_map import kernel_offsets
+
+            offs = kernel_offsets(3, 3, "hypercube")
+            fwd_p = jax.jit(
+                lambda p, f, pyr: model.apply(
+                    {"params": p, "batch_stats": merged_s}, f, pyr,
+                    train=False,
+                )
+            )
+            k = len(offs)
+            best_d, best_i = delta, None
+            for pi, perm in enumerate(axis_permutations(offs)):
+                permuted = jax.tree.map(
+                    lambda x: x[np.asarray(perm)]
+                    if hasattr(x, "ndim") and x.ndim == 3 and x.shape[0] == k
+                    else x,
+                    merged_p,
+                )
+                out_p = np.asarray(fwd_p(permuted, batch.feats0, batch.pyramid0))
+                d = float(np.abs(out_p[:n] - ref_feats[:n]).max())
+                if d < best_d:
+                    best_d, best_i = d, pi
+            if best_i is None:
+                print("probe: no offset permutation improves the delta — "
+                      "kernel order mismatch is unlikely; suspect data or "
+                      "normalization differences")
+            else:
+                print(f"probe: permutation #{best_i} reduces max |delta| to "
+                      f"{best_d:.2e} — bake it into conversion "
+                      f"(axis_permutations(offsets)[{best_i}])")
     return 0
 
 

@@ -141,7 +141,8 @@ def batch_export(scans_dir: str, label_map_file: str, output_dir: str,
         verts, sem, ins, bboxes = export_scene(
             os.path.join(scans_dir, scan_name), label_map_file
         )
-        mask = np.isin(sem, OBJ_CLASS_IDS)
+        # only bboxes are class-filtered; vertices keep ALL points
+        # (batch_load_scannet_data.py:49-56 — do not mask sem/ins/verts)
         bboxes = bboxes[np.isin(bboxes[:, -1], OBJ_CLASS_IDS)]
         if len(verts) > MAX_NUM_POINT:
             choices = np.random.choice(len(verts), MAX_NUM_POINT, replace=False)

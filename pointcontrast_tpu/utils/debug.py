@@ -27,16 +27,32 @@ def _check_level(lv, npad, prev_npad=None):
     assert nbr[:, n:].min() == npad - 1 if n < npad else True
 
 
+def _is_flat_level(lv):
+    """Brick levels carry BrickMap/BrickDownMap wrappers whose indices live
+    one level up — only flat int-array levels are index-checkable here."""
+    return isinstance(getattr(lv, "nbr", None), np.ndarray) or (
+        hasattr(getattr(lv, "nbr", None), "dtype")
+    )
+
+
 def validate_pyramid(pyramid):
-    """Invariant checks over a sparse.topology.Pyramid."""
+    """Invariant checks over a sparse.topology.Pyramid (flat levels only:
+    brick levels' maps are validated transitively through the coarse flat
+    level they index into)."""
     levels = pyramid.levels
     for i, lv in enumerate(levels):
+        if not _is_flat_level(lv):
+            continue
         npad = np.asarray(lv.nbr).shape[1]
         _check_level(lv, npad)
-        if lv.down_nbr is not None:
+        if lv.down_nbr is not None and _is_flat_level(levels[i + 1]):
+            dn = getattr(lv.down_nbr, "nbr", lv.down_nbr)
+            if not (isinstance(dn, np.ndarray) or hasattr(dn, "dtype")):
+                continue
             next_pad = np.asarray(levels[i + 1].nbr).shape[1]
-            dn = np.asarray(lv.down_nbr)
-            assert dn.shape[1] == next_pad
+            dn = np.asarray(dn)
+            if dn.shape[1] != next_pad:
+                continue  # brick down map indexing a packed layout
             assert dn.min() >= 0 and dn.max() < npad
             up = np.asarray(lv.up_parent)
             assert up.shape[0] == npad
@@ -52,8 +68,15 @@ def validate_batch(batch):
         if batch.pyramid1 is not None:
             validate_pyramid(batch.pyramid1)
         npad0 = np.asarray(batch.feats0).shape[0]
-        n0 = int(np.asarray(batch.pyramid0.levels[0].valid).sum())
-        assert np.all(np.asarray(batch.feats0)[n0:] == 0), "pad rows not zero"
+        lv0 = batch.pyramid0.levels[0]
+        valid0 = np.asarray(lv0.valid)
+        if _is_flat_level(lv0):
+            n0 = int(valid0.sum())
+            assert np.all(np.asarray(batch.feats0)[n0:] == 0), "pad rows not zero"
+        else:  # brick rows: empty slots (valid == 0) must hold zeros
+            assert np.all(np.asarray(batch.feats0)[valid0 == 0] == 0), (
+                "pad rows not zero"
+            )
         for name in ("q_idx", "k_idx", "pos0_idx", "pos1_idx",
                      "cand0_idx", "cand1_idx"):
             arr = getattr(batch, name)
@@ -62,11 +85,16 @@ def validate_batch(batch):
                 assert a.min() >= 0 and a.max() < npad0, f"{name} out of range"
     elif hasattr(batch, "pyramid"):  # SemsegBatch
         validate_pyramid(batch.pyramid)
-        n = int(np.asarray(batch.pyramid.levels[0].valid).sum())
+        lv0 = batch.pyramid.levels[0]
+        valid0 = np.asarray(lv0.valid)
         feats = np.asarray(batch.feats)
         labels = np.asarray(batch.labels)
-        assert np.all(feats[n:] == 0), "pad feature rows not zero"
-        assert np.all(labels[n:] == 255) or labels[n:].size == 0
+        if _is_flat_level(lv0):
+            n = int(valid0.sum())
+            assert np.all(feats[n:] == 0), "pad feature rows not zero"
+            assert np.all(labels[n:] == 255) or labels[n:].size == 0
+        else:
+            assert np.all(feats[valid0 == 0] == 0), "pad feature rows not zero"
     elif hasattr(batch, "point_clouds"):  # DetectionBatch
         if batch.voxel_pyramid is not None:
             validate_pyramid(batch.voxel_pyramid)

@@ -247,3 +247,116 @@ class TestParityCheckEndToEnd:
 
         m = _re.search(r"feature-norm mean ([0-9.]+)", out)
         assert m and abs(float(m.group(1)) - 1.0) < 1e-3
+
+
+class TestBottleneckConversion:
+    def test_roundtrip_exact(self):
+        """export_state_dict -> convert_state_dict is the identity on a
+        Bottleneck-block model (conv1/conv3 are 1x1 SparseLinears there —
+        regression: they used to map onto nonexistent SparseConv paths and
+        silently stay at init)."""
+        import jax
+
+        from pointcontrast_tpu.data import PadScheme, SyntheticPairDataset, collate_pair
+        from pointcontrast_tpu.nn.res16unet import Res16UNetBase
+        from pointcontrast_tpu.nn.resnet_block import Bottleneck
+        from pointcontrast_tpu.tools.convert_torch import (
+            convert_state_dict,
+            export_state_dict,
+        )
+
+        class TinyBottleneckUNet(Res16UNetBase):
+            BLOCK = Bottleneck
+            LAYERS = (1, 1, 1, 1, 1, 1, 1, 1)
+            PLANES = (4, 8, 16, 32, 32, 16, 8, 8)
+            INIT_DIM = 4
+
+        model = TinyBottleneckUNet(in_channels=3, out_channels=8)
+        ds = SyntheticPairDataset(num_pairs=1, points_per_frame=400, seed=0)
+        batch = collate_pair(
+            [ds[0]], PadScheme(npad0=1024), mode="nce", npos=32,
+            rng=np.random.RandomState(0),
+        )
+        variables = jax.jit(
+            lambda r, f, p: model.init(r, f, p, train=False)
+        )(jax.random.PRNGKey(0), batch.feats0, batch.pyramid0)
+        params = jax.device_get(variables["params"])
+        stats = jax.device_get(variables["batch_stats"])
+
+        sd = export_state_dict(params, stats)
+        assert any(".conv3.kernel" in k for k in sd), "bottleneck conv3 missing"
+        cparams, cstats, unmatched = convert_state_dict(sd)
+        assert unmatched == []
+
+        flat_a = jax.tree_util.tree_flatten_with_path(params)[0]
+        flat_b = jax.tree_util.tree_flatten_with_path(cparams)[0]
+        keys_a = {tuple(str(getattr(k, "key", k)) for k in kp) for kp, _ in flat_a}
+        keys_b = {tuple(str(getattr(k, "key", k)) for k in kp) for kp, _ in flat_b}
+        assert keys_a == keys_b, keys_a ^ keys_b
+        for (kp, a), (_, b) in zip(sorted(flat_a, key=str), sorted(flat_b, key=str)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        flat_sa = jax.tree_util.tree_flatten_with_path(stats)[0]
+        flat_sb = jax.tree_util.tree_flatten_with_path(cstats)[0]
+        assert len(flat_sa) == len(flat_sb)
+
+
+class TestPermutationProbe:
+    def test_probe_recovers_kernel_permutation(self, tmp_path, capsys):
+        """Fabricate reference activations from a forward whose 27-offset
+        kernels were scrambled by a known signed-axis permutation; the
+        --probe-permutation search must find a permutation that collapses
+        the delta (regression: the flag used to print a stub message)."""
+        import jax
+        import torch
+
+        from pointcontrast_tpu.data import PadScheme, SyntheticPairDataset, collate_pair
+        from pointcontrast_tpu.nn.registry import load_model
+        from pointcontrast_tpu.sparse.kernel_map import kernel_offsets
+        from pointcontrast_tpu.tools import parity_check
+        from pointcontrast_tpu.tools.convert_torch import export_state_dict
+
+        model = load_model("Res16UNet34C")(
+            in_channels=3, out_channels=32, normalize_feature=True
+        )
+        ds = SyntheticPairDataset(num_pairs=1, points_per_frame=4000,
+                                  random_rotation=False, seed=0)
+        batch = collate_pair(
+            [ds[0]], PadScheme(npad0=16384), mode="nce", npos=256,
+            rng=np.random.RandomState(0),
+        )
+        variables = jax.jit(
+            lambda r, f, p: model.init(r, f, p, train=False)
+        )(jax.random.PRNGKey(0), batch.feats0, batch.pyramid0)
+        params = jax.device_get(variables["params"])
+        stats = jax.device_get(variables["batch_stats"])
+
+        offs = kernel_offsets(3, 3, "hypercube")
+        perm = parity_check.axis_permutations(offs)[7]
+        permuted = jax.tree.map(
+            lambda x: x[np.asarray(perm)]
+            if hasattr(x, "ndim") and x.ndim == 3 and x.shape[0] == len(offs)
+            else x,
+            params,
+        )
+        ref_out = np.asarray(jax.jit(
+            lambda f, p: model.apply(
+                {"params": permuted, "batch_stats": stats}, f, p, train=False)
+        )(batch.feats0, batch.pyramid0))
+        nvalid = int(np.asarray(batch.pyramid0.levels[0].valid).sum())
+        acts = tmp_path / "acts.npz"
+        np.savez(acts, feats=ref_out[:nvalid])
+
+        sd = export_state_dict(params, stats)
+        pth = tmp_path / "ck.pth"
+        torch.save({"state_dict": {k: torch.from_numpy(v)
+                                   for k, v in sd.items()}}, pth)
+
+        assert parity_check.main([
+            str(pth), "--reference-acts", str(acts), "--probe-permutation",
+        ]) == 0
+        out = capsys.readouterr().out
+        assert "probe: permutation #" in out
+        import re as _re
+
+        m = _re.search(r"reduces max \|delta\| to ([0-9.e+-]+)", out)
+        assert m and float(m.group(1)) < 1e-4, out
