@@ -24,10 +24,13 @@ DEFAULT_CONFIG = os.path.join(
 
 
 class _BatchLoader:
-    """Round-robin detection batches with background collation."""
+    """Round-robin detection batches with background collation.
+
+    num_device_batches > 1 stacks that many per-device batches on a leading
+    axis (the data-parallel mesh axis), like PairLoader/SemsegLoader."""
 
     def __init__(self, dataset, batch_size, voxel_size=None, scheme=None,
-                 shuffle=True, seed=0):
+                 shuffle=True, seed=0, num_device_batches=1):
         from pointcontrast_tpu.data.sampler import DistributedInfSampler
         from pointcontrast_tpu.detect.datasets import collate_detection
 
@@ -36,14 +39,24 @@ class _BatchLoader:
         self.voxel_size = voxel_size
         self.scheme = scheme
         self.collate = collate_detection
+        self.num_device_batches = num_device_batches
         self.sampler = DistributedInfSampler(len(dataset), shuffle=shuffle, seed=seed)
 
-    def __next__(self):
+    def _one(self):
         idxs = [next(self.sampler) for _ in range(self.batch_size)]
         return self.collate(
             [self.dataset[i] for i in idxs],
             voxel_size=self.voxel_size, scheme=self.scheme,
         )
+
+    def __next__(self):
+        import jax
+        import numpy as np
+
+        if self.num_device_batches == 1:
+            return self._one()
+        parts = [self._one() for _ in range(self.num_device_batches)]
+        return jax.tree.map(lambda *xs: np.stack(xs), *parts)
 
     def epoch(self):
         """One deterministic full pass in dataset order (validation: every
@@ -124,10 +137,19 @@ def main(argv: list[str] | None = None):
         )
         if use_voxels else None
     )
+    import jax
+
+    from pointcontrast_tpu.parallel import make_mesh
+
+    num_devices = (
+        int(cfg.distributed.num_devices) if cfg.get("distributed") else 0
+    ) or len(jax.devices())
+    mesh = make_mesh(num_devices) if num_devices > 1 else None
     train_loader = _BatchLoader(
         train_ds, cfg.data.batch_size,
         voxel_size=cfg.data.voxel_size if use_voxels else None,
         scheme=scheme, seed=cfg.misc.seed,
+        num_device_batches=num_devices if mesh is not None else 1,
     )
     val_loader = _BatchLoader(
         val_ds, cfg.data.batch_size,
@@ -159,7 +181,7 @@ def main(argv: list[str] | None = None):
         per_class_proposal=cfg.eval.per_class_proposal,
         conf_thresh=cfg.eval.conf_thresh,
     )
-    trainer = DetectTrainer(model, dc, tcfg, next(train_loader))
+    trainer = DetectTrainer(model, dc, tcfg, next(train_loader), mesh=mesh)
 
     if cfg.net.weights:
         from pointcontrast_tpu.train.checkpoint import lenient_filter

@@ -84,7 +84,9 @@ def make_detect_train_step(model, dataset_config, lr_schedule=None):
         "sem_cls_loss", "obj_acc", "pos_ratio", "neg_ratio",
     )  # get_loss_boxnet reports vote_loss = 0
 
-    def step(state: TrainState, batch):
+    def step(state: TrainState, batch, axis_name: str | None = None):
+        from pointcontrast_tpu.parallel.mesh import pmean_if_parallel
+
         inputs = _batch_to_inputs(batch)
         labels = _batch_to_labels(batch)
 
@@ -101,6 +103,8 @@ def make_detect_train_step(model, dataset_config, lr_schedule=None):
         (_, (bs, metrics)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
         )
+        grads = pmean_if_parallel(grads, axis_name)
+        metrics = pmean_if_parallel(metrics, axis_name)
         new_state = state.apply_gradients(grads, new_batch_stats=bs)
         return new_state, metrics
 
@@ -133,11 +137,17 @@ def _batch_to_labels(batch) -> dict:
 
 
 class DetectTrainer:
+    """Single-device by default; pass ``mesh`` for data parallelism (the
+    loader must then stack ``num_device_batches == mesh size`` device
+    batches on a leading axis — the reference trains VoteNet under DDP,
+    ddp_main.py)."""
+
     def __init__(self, model, dataset_config, config: DetectConfig,
-                 example_batch, rng=None):
+                 example_batch, rng=None, mesh=None):
         self.model = model
         self.dc = dataset_config
         self.config = config
+        self.mesh = mesh
         self._lr = optax.inject_hyperparams(optax.adam)(
             learning_rate=config.learning_rate
         )
@@ -147,15 +157,13 @@ class DetectTrainer:
                 optax.add_decayed_weights(config.weight_decay), tx
             )
         rng = rng if rng is not None else jax.random.PRNGKey(0)
+        if mesh is not None:
+            example_batch = jax.tree.map(
+                lambda x: x[0] if hasattr(x, "ndim") else x, example_batch
+            )
         inputs = _batch_to_inputs(example_batch)
         self.state = create_train_state(rng, model, tx, (inputs,))
-        step = make_detect_train_step(model, dataset_config, None)
-        self._step = jax.jit(step, donate_argnums=0)
-        self._eval_apply = jax.jit(
-            lambda params, bs, inputs: model.apply(
-                {"params": params, "batch_stats": bs}, inputs, train=False
-            )
-        )
+        self._compile_step(model)
         self.epoch = 0
         self.preemption_guard = None  # see utils/preemption.py
 
@@ -182,6 +190,22 @@ class DetectTrainer:
             )
             log.info("resumed from %s at epoch %d", ckpt, self.epoch)
 
+    def _compile_step(self, model):
+        step = make_detect_train_step(model, self.dc, None)
+        if self.mesh is not None:
+            from pointcontrast_tpu.parallel.mesh import data_parallel_step
+
+            self._step = data_parallel_step(step, self.mesh)
+        else:
+            self._step = jax.jit(
+                lambda s, b: step(s, b, axis_name=None), donate_argnums=0
+            )
+        self._eval_apply = jax.jit(
+            lambda params, bs, inputs: model.apply(
+                {"params": params, "batch_stats": bs}, inputs, train=False
+            )
+        )
+
     def set_lr(self, lr: float):
         # inject_hyperparams exposes the lr inside opt_state. NOTE: the
         # inject state is itself a NamedTuple (so `isinstance(x, tuple)` is
@@ -207,14 +231,7 @@ class DetectTrainer:
         self._bn_momentum = momentum
         model = self.model.clone(bn_momentum=momentum)
         self.state = self.state.replace(apply_fn=model.apply)
-        self._step = jax.jit(
-            make_detect_train_step(model, self.dc, None), donate_argnums=0
-        )
-        self._eval_apply = jax.jit(
-            lambda params, bs, inputs: model.apply(
-                {"params": params, "batch_stats": bs}, inputs, train=False
-            )
-        )
+        self._compile_step(model)
 
     def train_epoch(self, loader, num_batches: int):
         cfg = self.config

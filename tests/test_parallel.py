@@ -152,3 +152,52 @@ class TestSemsegMesh:
         loader.close()
         assert len(history) == 2
         assert all(np.isfinite(m["loss"]) for _, m in history)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs >=2 devices")
+class TestDetectMesh:
+    def test_detect_trainer_on_mesh(self, tmp_path):
+        """DetectTrainer with a 2-device mesh + stacking loader (the
+        reference trains VoteNet under DDP, ddp_main.py) — one epoch runs,
+        metrics are finite, and the replicated-vs-single first-step loss
+        matches when both devices see the same batch."""
+        from pointcontrast_tpu.apps.votenet import _BatchLoader
+        from pointcontrast_tpu.detect.datasets import SyntheticDetectionDataset
+        from pointcontrast_tpu.detect.train import DetectConfig, DetectTrainer
+        from pointcontrast_tpu.detect.votenet import VoteNet
+        from pointcontrast_tpu.parallel import make_mesh
+
+        ds = SyntheticDetectionDataset(num_scenes=4, num_objects=3,
+                                       num_points=1200, seed=0)
+        dc = ds.dc
+        loader = _BatchLoader(ds, batch_size=1, seed=0, num_device_batches=2)
+        model = VoteNet(
+            num_class=dc.num_class, num_heading_bin=dc.num_heading_bin,
+            num_size_cluster=dc.num_size_cluster,
+            mean_size_arr=dc.mean_size_arr, num_proposal=16,
+        )
+        cfg = DetectConfig(learning_rate=1e-4,
+                           checkpoint_dir=str(tmp_path / "mesh"))
+        trainer = DetectTrainer(model, dc, cfg, next(loader),
+                                mesh=make_mesh(2))
+
+        # parity FIRST (same fresh PRNGKey(0) init in both trainers):
+        # identical per-device batches -> pmean == single-device step
+        import jax as _jax
+
+        single = DetectTrainer(model, dc, DetectConfig(
+            learning_rate=1e-4, checkpoint_dir=str(tmp_path / "single")),
+            _jax.tree.map(lambda x: x[0] if hasattr(x, "ndim") else x,
+                          next(loader)))
+        b1 = next(loader)
+        dup = _jax.tree.map(
+            lambda x: np.stack([x[0], x[0]]) if hasattr(x, "ndim") else x, b1)
+        local = _jax.tree.map(lambda x: x[0] if hasattr(x, "ndim") else x, dup)
+        trainer.state, m_mesh = trainer._step(trainer.state, dup)
+        single.state, m_single = single._step(single.state, local)
+        np.testing.assert_allclose(
+            float(_jax.device_get(m_mesh["loss"])),
+            float(_jax.device_get(m_single["loss"])), rtol=1e-5)
+
+        loss = trainer.train_epoch(loader, num_batches=2)
+        assert np.isfinite(loss)
