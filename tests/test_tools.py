@@ -235,7 +235,7 @@ class TestParityCheckEndToEnd:
             jax.device_get(variables["batch_stats"]))
         sd = export_state_dict(params, stats)
         pth = tmp_path / "fabricated.pth"
-        torch.save({"state_dict": {f"module.{k}": torch.from_numpy(v)
+        torch.save({"state_dict": {f"module.{k}": torch.from_numpy(np.array(v))
                                    for k, v in sd.items()}}, pth)
 
         assert parity_check.main([str(pth)]) == 0
@@ -348,7 +348,7 @@ class TestPermutationProbe:
 
         sd = export_state_dict(params, stats)
         pth = tmp_path / "ck.pth"
-        torch.save({"state_dict": {k: torch.from_numpy(v)
+        torch.save({"state_dict": {k: torch.from_numpy(np.array(v))
                                    for k, v in sd.items()}}, pth)
 
         assert parity_check.main([
