@@ -237,18 +237,23 @@ class DetectTrainer:
         cfg = self.config
         self.set_lr(get_current_lr(self.epoch, cfg))
         self.set_bn_momentum(get_bn_momentum(self.epoch, cfg))
+        # Keep the loss on device per step and materialize once at epoch
+        # end: a per-step float() blocks on the in-flight step and
+        # serializes dispatch (same pipelining fix as PretrainTrainer's
+        # host-counter loop — reference lib/train.py:57-99 accumulates on
+        # host because torch is eager; under jit the sync is pure overhead).
         losses = []
         for _ in range(num_batches):
             batch = next(loader)
             self.state, metrics = self._step(self.state, batch)
-            losses.append(float(jax.device_get(metrics["loss"])))
+            losses.append(metrics["loss"])
             if self.preemption_guard is not None and self.preemption_guard.preempted:
                 from pointcontrast_tpu.utils.preemption import Preempted
 
                 self.save(self.epoch)
                 raise Preempted(self.epoch)
         self.epoch += 1
-        return float(np.mean(losses))
+        return float(np.mean(jax.device_get(losses)))
 
     def evaluate(self, loader, num_batches: int | None = None):
         """AP over ``num_batches`` draws from an infinite loader, or — with
