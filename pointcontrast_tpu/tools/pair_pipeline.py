@@ -141,3 +141,62 @@ def generate_pair_list(scenes_dir: str, output_file: str,
                         out.write(line)
                         n += 1
     return n
+
+
+def main(argv=None):
+    """CLI mirroring the reference's per-stage scripts
+    (data_preprocess/README.md:15-31: reader.py, point_cloud_extractor.py,
+    compute_full_overlapping.py, generate_list.py) as subcommands, plus a
+    ``scene`` convenience running all three per-scene stages."""
+    import argparse
+
+    p = argparse.ArgumentParser(prog="pair_pipeline", description=main.__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("export", help="dump depth/pose/intrinsics from a .sens")
+    s.add_argument("--filename", required=True, help=".sens file to read")
+    s.add_argument("--output_path", required=True)
+    s.add_argument("--frame_skip", type=int, default=25)
+
+    s = sub.add_parser("extract", help="unproject exported frames to .npz clouds")
+    s.add_argument("--input_path", required=True, help="exported scene dir")
+    s.add_argument("--output_path", default=None, help="default <scene>/pcd")
+
+    s = sub.add_parser("overlap", help="all-pairs overlap -> overlap.txt")
+    s.add_argument("--input_path", required=True, help="scene dir with pcd/")
+    s.add_argument("--voxel_size", type=float, default=0.05)
+
+    s = sub.add_parser("pairlist", help="filter overlaps into the corpus list")
+    s.add_argument("--target_dir", required=True, help="dir of scene subdirs")
+    s.add_argument("--output_file", default=None,
+                   help="default <target_dir>/overlap-30.txt")
+    s.add_argument("--threshold", type=float, default=0.3)
+
+    s = sub.add_parser("scene", help="export+extract+overlap for one .sens")
+    s.add_argument("--filename", required=True)
+    s.add_argument("--output_path", required=True)
+    s.add_argument("--frame_skip", type=int, default=25)
+    s.add_argument("--voxel_size", type=float, default=0.05)
+
+    args = p.parse_args(argv)
+    if args.cmd == "export":
+        export_scene(args.filename, args.output_path, args.frame_skip)
+    elif args.cmd == "extract":
+        files = extract_pointclouds(args.input_path, args.output_path)
+        print(f"extracted {len(files)} clouds")
+    elif args.cmd == "overlap":
+        print(compute_scene_overlaps(args.input_path, args.voxel_size))
+    elif args.cmd == "pairlist":
+        out = args.output_file or os.path.join(
+            args.target_dir, "overlap-30.txt"
+        )
+        n = generate_pair_list(args.target_dir, out, args.threshold)
+        print(f"{n} pairs -> {out}")
+    elif args.cmd == "scene":
+        export_scene(args.filename, args.output_path, args.frame_skip)
+        extract_pointclouds(args.output_path)
+        print(compute_scene_overlaps(args.output_path, args.voxel_size))
+
+
+if __name__ == "__main__":
+    main()

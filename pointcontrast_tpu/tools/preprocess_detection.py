@@ -153,3 +153,26 @@ def batch_export(scans_dir: str, label_map_file: str, output_dir: str,
         np.save(out_prefix + "_bbox.npy", bboxes)
         done.append(scan_name)
     return done
+
+
+def main(argv=None):
+    """CLI mirroring the reference's batch_load_scannet_data.py (run-as-
+    script with hardcoded paths; here the paths are arguments)."""
+    import argparse
+
+    p = argparse.ArgumentParser(prog="preprocess_detection",
+                                description=main.__doc__)
+    p.add_argument("--scans_dir", required=True, help="raw scans/ directory")
+    p.add_argument("--label_map_file", required=True,
+                   help="scannetv2-labels.combined.tsv")
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--scan_names", nargs="*", default=None,
+                   help="subset of scans (default: all subdirs)")
+    args = p.parse_args(argv)
+    done = batch_export(args.scans_dir, args.label_map_file, args.output_dir,
+                        args.scan_names or None)
+    print(f"exported {len(done)} scans")
+
+
+if __name__ == "__main__":
+    main()

@@ -134,3 +134,36 @@ def convert_scannet(raw_path: str, out_path: str, workers: int = 8):
                 labels[mask] = 0
                 save_ply(f, coords, colors, labels)
     return written
+
+
+def main(argv=None):
+    """CLI mirroring the reference preprocess scripts
+    (downstream/semseg/lib/datasets/preprocessing/{scannet,stanford}.py —
+    both are run-as-script converters with hardcoded paths; here the paths
+    are arguments)."""
+    import argparse
+
+    p = argparse.ArgumentParser(prog="preprocess_semseg", description=main.__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("scannet", help="merge clean_2 + labels PLYs")
+    s.add_argument("--raw_path", required=True, help="dir with scans/, scans_test/")
+    s.add_argument("--out_path", required=True)
+    s.add_argument("--workers", type=int, default=8)
+
+    s = sub.add_parser("stanford", help="convert S3DIS txt rooms to PLY")
+    s.add_argument("--raw_path", required=True, help="Stanford3dDataset root")
+    s.add_argument("--out_path", required=True)
+
+    args = p.parse_args(argv)
+    if args.cmd == "scannet":
+        written = convert_scannet(args.raw_path, args.out_path, args.workers)
+        print(f"wrote {len(written)} scans")
+    elif args.cmd == "stanford":
+        written = convert_stanford(args.raw_path, args.out_path)
+        generate_stanford_splits(args.out_path)
+        print(f"wrote {len(written)} rooms + splits")
+
+
+if __name__ == "__main__":
+    main()

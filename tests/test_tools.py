@@ -115,6 +115,35 @@ class TestPairPipeline:
         n = generate_pair_list(str(tmp_path), pair_file, threshold=0.3)
         assert n == 1
 
+    def test_cli_scene_pipeline(self, tmp_path, capsys):
+        """`python -m ...pair_pipeline scene` runs all three per-scene
+        stages on a fabricated .sens (reference README.md:15-31 shell
+        recipe)."""
+        from pointcontrast_tpu.tools.pair_pipeline import main
+
+        sens = str(tmp_path / "scene0.sens")
+        TestSensorData()._fake_sens(sens)
+        scene = str(tmp_path / "scene0")
+        main(["scene", "--filename", sens, "--output_path", scene,
+              "--frame_skip", "1"])
+        assert os.path.exists(os.path.join(scene, "overlap.txt"))
+        assert len(os.listdir(os.path.join(scene, "pcd"))) == 3
+        main(["pairlist", "--target_dir", str(tmp_path)])
+        out_file = os.path.join(str(tmp_path), "overlap-30.txt")
+        assert os.path.exists(out_file)
+
+    def test_cli_help_all_tools(self):
+        """All three preprocessing tools expose --help (shell-drivable as
+        the reference documents)."""
+        for mod in ("pair_pipeline", "preprocess_semseg",
+                    "preprocess_detection"):
+            m = __import__(
+                f"pointcontrast_tpu.tools.{mod}", fromlist=["main"]
+            )
+            with pytest.raises(SystemExit) as e:
+                m.main(["--help"])
+            assert e.value.code == 0
+
 
 class TestTorchConverter:
     def test_full_res16unet_mapping(self):
