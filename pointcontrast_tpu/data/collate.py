@@ -120,8 +120,8 @@ class PairBatch:
     cand0_valid: Optional[jnp_array] = None  # [H]
     cand1_idx: Optional[jnp_array] = None  # [H]
     cand1_valid: Optional[jnp_array] = None  # [H]
-    collide0: Optional[jnp_array] = None  # [P, H] bool
-    collide1: Optional[jnp_array] = None  # [P, H] bool
+    collide0: Optional[jnp_array] = None  # [P, H/8] uint8 (bit-packed, LE)
+    collide1: Optional[jnp_array] = None  # [P, H/8] uint8 (bit-packed, LE)
     # scalar count of voxels dropped by graceful coarse-level truncation
     # (topology.PyramidMeta.truncated); a pytree leaf so the jitted step can
     # surface it in metrics without recompilation or host syncs
@@ -291,8 +291,18 @@ def sample_hardest_contrastive(
     # Sparse build: each anchor has only a handful of true matches, so mark
     # exactly those (anchor, candidate-position) cells instead of testing all
     # P x H memberships.
-    collide0 = _collision_bitmap(matches[:, 0], matches[:, 1], pos0, cand1, h1, n1)
-    collide1 = _collision_bitmap(matches[:, 1], matches[:, 0], pos1, cand0, h0, n0)
+    # Bit-packed along the candidate axis (H/8 bytes/row, little-endian bit
+    # order): the loss only ever tests bit [i, argmin_i], so it gathers the
+    # byte and shifts — an 8x cut in H2D bitmap traffic (8 MB -> 1 MB/batch
+    # at P=4096, H=1024).
+    collide0 = np.packbits(
+        _collision_bitmap(matches[:, 0], matches[:, 1], pos0, cand1, h1, n1),
+        axis=1, bitorder="little",
+    )
+    collide1 = np.packbits(
+        _collision_bitmap(matches[:, 1], matches[:, 0], pos1, cand0, h0, n0),
+        axis=1, bitorder="little",
+    )
     return dict(
         pos0_idx=pos0,
         pos1_idx=pos1,

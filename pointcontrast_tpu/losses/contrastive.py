@@ -48,6 +48,15 @@ def point_info_nce_loss(
     return _masked_mean(per_pair, pair_valid)
 
 
+def _packed_bit(packed: jnp.ndarray, col: jnp.ndarray) -> jnp.ndarray:
+    """Row-wise bit test of a little-endian bit-packed [P, H/8] uint8 map:
+    returns packed[i, col[i]//8] bit (col[i] % 8) as bool [P].  The pack
+    happens host-side in the collator (np.packbits bitorder='little') —
+    shipping bits instead of bools cuts the H2D bitmap payload 8x."""
+    byte = jnp.take_along_axis(packed, (col[:, None] >> 3), axis=1)[:, 0]
+    return ((byte >> (col & 7).astype(byte.dtype)) & 1).astype(bool)
+
+
 def _pdist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Euclidean distance matrix, matching the reference's
     sqrt(||a-b||^2 + 1e-7) (ddp_trainer.py:184-186)."""
@@ -69,8 +78,9 @@ def hardest_contrastive_loss(
     cand0_valid: jnp.ndarray,  # [H]
     cand1_idx: jnp.ndarray,  # [H] candidate rows into f1
     cand1_valid: jnp.ndarray,  # [H]
-    collide0: jnp.ndarray,  # [P, H] bool: (pos0_idx[i], cand1_idx[j]) is a true pair
-    collide1: jnp.ndarray,  # [P, H] bool: (cand0_idx[j], pos1_idx[i]) is a true pair
+    collide0: jnp.ndarray,  # [P, H/8] uint8, bit j of byte b set iff
+    #                          (pos0_idx[i], cand1_idx[b*8+j]) is a true pair
+    collide1: jnp.ndarray,  # [P, H/8] uint8 likewise for (cand0, pos1)
     pos_thresh: float = 0.1,
     neg_thresh: float = 1.4,
 ):
@@ -97,8 +107,8 @@ def hardest_contrastive_loss(
     d10_min = jnp.min(d10, axis=1)
     d10_ind = jnp.argmin(d10, axis=1)
 
-    hit0 = jnp.take_along_axis(collide0, d01_ind[:, None], axis=1)[:, 0]
-    hit1 = jnp.take_along_axis(collide1, d10_ind[:, None], axis=1)[:, 0]
+    hit0 = _packed_bit(collide0, d01_ind)
+    hit1 = _packed_bit(collide1, d10_ind)
     mask0 = (pos_valid > 0) & ~hit0
     mask1 = (pos_valid > 0) & ~hit1
 

@@ -88,7 +88,8 @@ class TestSampling:
         d = sample_hardest_contrastive(matches, 200, 220, 64, 32, rng)
         assert d["pos_valid"].sum() == 50
         assert d["cand0_valid"].sum() == 32
-        assert d["collide0"].shape == (64, 32)
+        assert d["collide0"].shape == (64, 4)  # 32 cands bit-packed to 4 B
+        assert d["collide0"].dtype == np.uint8
 
 
 class TestCollate:

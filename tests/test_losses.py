@@ -111,7 +111,8 @@ class TestHardestContrastive:
             jnp.asarray(np.ones(20, np.float32)),
             jnp.asarray(cands0), jnp.asarray(np.ones(30, np.float32)),
             jnp.asarray(cands1), jnp.asarray(np.ones(30, np.float32)),
-            jnp.asarray(collide0), jnp.asarray(collide1),
+            jnp.asarray(np.packbits(collide0, axis=1, bitorder="little")),
+            jnp.asarray(np.packbits(collide1, axis=1, bitorder="little")),
             pos_thresh=0.1, neg_thresh=1.4)
         want_pos, want_neg = self._numpy_oracle(
             f0, f1, pos, cands0, cands1, all_pairs, 0.1, 1.4)
