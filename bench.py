@@ -1,18 +1,21 @@
 """Pretraining throughput benchmark (driver-run, real TPU).
 
 Measures pairs/sec for the flagship config: Res16UNet34C, PointInfoNCE loss,
-per-chip batch of 4 frame pairs at ScanNet-like voxel counts (the reference's
-per-GPU batch, scripts/ddp_local.sh:20 + defaults.yaml batch_size=4), full
-training step (fused fwd + loss + bwd + SGD).
+full training step (fused fwd + loss + bwd + SGD), at a per-chip batch of
+``PC_TPU_BENCH_BATCH`` frame pairs (default 4 — the reference's per-GPU
+batch, scripts/ddp_local.sh:20 + defaults.yaml batch_size=4) at ScanNet-like
+voxel counts.
 
 Workload realism: frames are saturated surface scans (~15.5k voxels each at
 2.5 cm, every surface voxel in view occupied) — the statistics of real
-depth-frame unprojections.  Round 1 benched diffuse sub-voxel-density point
-sprays, which inflate the coarse pyramid levels ~2-3x (level-1 ratio 0.62 vs
-the real ~0.26) and understate throughput; level-0 size is unchanged
-(~126k fused voxels vs 131072 pad).
+depth-frame unprojections (see PERF.md "Workload realism").
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Env knobs:
+  PC_TPU_BENCH_MODE=nce|hardest|both   loss mode(s) to measure ("both"
+      prints the headline NCE line first, then a hardest line)
+  PC_TPU_BENCH_BATCH=N                 pairs per step (npad0 scales with it)
+  PC_TPU_BENCH_LAYOUT=voxel|brick      sparse layout (brick is parked)
 
 vs_baseline: the reference publishes no pairs/sec (BASELINE.md); the divisor
 is a documented estimate of the 8x-V100 reference throughput *per GPU*,
@@ -30,21 +33,19 @@ import numpy as np
 
 REFERENCE_PAIRS_PER_SEC_PER_GPU_EST = 6.0
 
-BATCH_PAIRS = 4
+BATCH_PAIRS = int(os.environ.get("PC_TPU_BENCH_BATCH", "4"))
 POINTS_PER_FRAME = 45000  # saturates the visible surfaces at 2.5 cm
 ROOM_SIZE = 1.75  # ~15.5k voxels/frame, the reference's assumed frame size
-NPAD0 = 131072  # both frames fused into one sparse batch (8 frames)
+NPAD0 = BATCH_PAIRS * 32768  # both frames fused into one sparse batch
 LAYOUT = os.environ.get("PC_TPU_BENCH_LAYOUT", "voxel")
+MODE = os.environ.get("PC_TPU_BENCH_MODE", "nce")
 WARMUP = 3
 ITERS = 20
 
 
-def main():
+def measure(mode: str) -> float:
+    """pairs/sec of the full train step in the given loss mode."""
     import jax
-
-    from pointcontrast_tpu.utils.cache import enable_compilation_cache
-
-    enable_compilation_cache()
 
     from pointcontrast_tpu.data import PadScheme, SyntheticPairDataset, collate_pair
     from pointcontrast_tpu.nn.registry import load_model
@@ -58,11 +59,13 @@ def main():
     )
     scheme = PadScheme.scannet(npad0=NPAD0)
     rng = np.random.RandomState(0)
+    collate_kw = dict(npos=4096, rng=rng, fuse_frames=True, layout=LAYOUT)
+    if mode == "hardest":
+        collate_kw.update(num_pos=4096, num_hn=1024)
     batches = [
         collate_pair(
             [ds[(b * BATCH_PAIRS + i) % len(ds)] for i in range(BATCH_PAIRS)],
-            scheme, mode="nce", npos=4096, rng=rng, fuse_frames=True,
-            layout=LAYOUT,
+            scheme, mode=mode, **collate_kw,
         )
         for b in range(2)
     ]
@@ -70,7 +73,7 @@ def main():
     model = load_model("Res16UNet34C")(
         in_channels=3, out_channels=32, normalize_feature=True
     )
-    config = PretrainConfig(mode="nce", npos=4096, lr=0.1)
+    config = PretrainConfig(mode=mode, npos=4096, lr=0.1)
     schedule = optim.exp_lr(config.exp_gamma, config.lr_update_freq)
     tx = optim.make_optimizer("sgd", config.lr, schedule, config)
     state = create_train_state(
@@ -93,20 +96,33 @@ def main():
     float(jax.device_get(metrics["loss"]))  # steps chain through state, so
     # materializing the last loss bounds all ITERS executions
     dt = time.perf_counter() - t0
+    return BATCH_PAIRS * ITERS / dt
 
-    pairs_per_sec = BATCH_PAIRS * ITERS / dt
-    print(
-        json.dumps(
-            {
-                "metric": "pretrain_pairs_per_sec_per_chip",
-                "value": round(pairs_per_sec, 3),
-                "unit": "pairs/s",
-                "vs_baseline": round(
-                    pairs_per_sec / REFERENCE_PAIRS_PER_SEC_PER_GPU_EST, 3
-                ),
-            }
+
+def main():
+    from pointcontrast_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    modes = ["nce", "hardest"] if MODE == "both" else [MODE]
+    for mode in modes:
+        pairs_per_sec = measure(mode)
+        name = (
+            "pretrain_pairs_per_sec_per_chip" if mode == "nce"
+            else "pretrain_hardest_pairs_per_sec_per_chip"
         )
-    )
+        print(
+            json.dumps(
+                {
+                    "metric": name,
+                    "value": round(pairs_per_sec, 3),
+                    "unit": "pairs/s",
+                    "vs_baseline": round(
+                        pairs_per_sec / REFERENCE_PAIRS_PER_SEC_PER_GPU_EST, 3
+                    ),
+                }
+            )
+        )
 
 
 if __name__ == "__main__":
