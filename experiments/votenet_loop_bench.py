@@ -38,7 +38,7 @@ def main():
     )
     dc = ds.dc
     loader = _BatchLoader(ds, batch_size=BATCH, seed=0)
-    it = iter(loader)
+    it = loader  # _BatchLoader implements __next__ directly
     model = VoteNet(
         num_class=dc.num_class, num_heading_bin=dc.num_heading_bin,
         num_size_cluster=dc.num_size_cluster, mean_size_arr=dc.mean_size_arr,
@@ -70,7 +70,10 @@ def main():
     float(jax.device_get(m["loss"]))
     dt_step = (time.perf_counter() - t0) / STEPS
 
-    # epoch loop (device-accumulated losses, one sync at epoch end)
+    # epoch loop (device-accumulated losses, one sync at epoch end).
+    # First epoch pays the one-time BN-momentum step rebuild (cache
+    # deserialize) — warm it, then measure a steady-state epoch.
+    trainer.train_epoch(_Replay(batches), num_batches=2)
     t0 = time.perf_counter()
     trainer.train_epoch(_Replay(batches), num_batches=STEPS)
     dt_loop = (time.perf_counter() - t0) / STEPS
