@@ -106,12 +106,28 @@ def d_linear(x, mask, p):
 
 
 def d_block(x, mask, p, s, train):
-    """BasicBlock twin (resnet_block.py:39-66)."""
-    out = d_conv(x, p["SparseConv_0"]["kernel"], OFFS3) * mask
-    out = d_bn(out, mask, p["MaskedBatchNorm_0"], s["MaskedBatchNorm_0"], train)
-    out = jax.nn.relu(out)
-    out = d_conv(out, p["SparseConv_1"]["kernel"], OFFS3) * mask
-    out = d_bn(out, mask, p["MaskedBatchNorm_1"], s["MaskedBatchNorm_1"], train)
+    """BasicBlock twin (resnet_block.py:39-66) or Bottleneck twin
+    (:69-101), keyed on the submodule names present."""
+    if "SparseLinear_0" in p:  # Bottleneck: 1-3-1
+        out = d_linear(x, mask, p["SparseLinear_0"])
+        out = d_bn(out, mask, p["MaskedBatchNorm_0"],
+                   s["MaskedBatchNorm_0"], train)
+        out = jax.nn.relu(out)
+        out = d_conv(out, p["SparseConv_0"]["kernel"], OFFS3) * mask
+        out = d_bn(out, mask, p["MaskedBatchNorm_1"],
+                   s["MaskedBatchNorm_1"], train)
+        out = jax.nn.relu(out)
+        out = d_linear(out, mask, p["SparseLinear_1"])
+        out = d_bn(out, mask, p["MaskedBatchNorm_2"],
+                   s["MaskedBatchNorm_2"], train)
+    else:
+        out = d_conv(x, p["SparseConv_0"]["kernel"], OFFS3) * mask
+        out = d_bn(out, mask, p["MaskedBatchNorm_0"],
+                   s["MaskedBatchNorm_0"], train)
+        out = jax.nn.relu(out)
+        out = d_conv(out, p["SparseConv_1"]["kernel"], OFFS3) * mask
+        out = d_bn(out, mask, p["MaskedBatchNorm_1"],
+                   s["MaskedBatchNorm_1"], train)
     if "downsample_conv" in p:
         residual = d_linear(x, mask, p["downsample_conv"])
         residual = d_bn(residual, mask, p["downsample_norm"],
@@ -327,6 +343,24 @@ class TestDenseOracle:
                 0.95 * old_v + 0.05 * unbiased,
                 rtol=1e-4, atol=1e-5, err_msg=f"{name} running var",
             )
+
+    def test_res16unet50_bottleneck_forward_parity(self):
+        """Bottleneck family (1-3-1 blocks, expansion 4) through the same
+        oracle (reference res16unet.py Res16UNet50)."""
+        rng = np.random.RandomState(11)
+        model, pyr, meta, feats, variables, grid0, masks = _build(
+            "Res16UNet50", 3, rng
+        )
+        sparse_out = model.apply(variables, feats, pyr, train=False)
+        dense_out, _ = dense_forward(
+            variables, jnp.asarray(grid0), [jnp.asarray(m) for m in masks],
+            model, 3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(sparse_out)[: meta.counts[0]],
+            read_at(dense_out, meta.coords[0]),
+            rtol=1e-4, atol=1e-4,
+        )
 
     def test_res16unet14_forward_parity(self):
         """A second family member (1-block stages) through the same oracle."""
