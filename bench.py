@@ -39,6 +39,9 @@ ROOM_SIZE = 1.75  # ~15.5k voxels/frame, the reference's assumed frame size
 NPAD0 = BATCH_PAIRS * 32768  # both frames fused into one sparse batch
 LAYOUT = os.environ.get("PC_TPU_BENCH_LAYOUT", "voxel")
 MODE = os.environ.get("PC_TPU_BENCH_MODE", "nce")
+DTYPE = os.environ.get("PC_TPU_BENCH_DTYPE", "float32")  # activations dtype
+# (params and norm statistics stay f32 either way; bf16 keeps the level-0
+# gather table inside the ~8-16 MB fast-gather footprint, see PERF.md)
 WARMUP = 3
 ITERS = 20
 
@@ -70,8 +73,11 @@ def measure(mode: str) -> float:
         for b in range(2)
     ]
 
+    import jax.numpy as jnp
+
     model = load_model("Res16UNet34C")(
-        in_channels=3, out_channels=32, normalize_feature=True
+        in_channels=3, out_channels=32, normalize_feature=True,
+        dtype=jnp.dtype(DTYPE),
     )
     config = PretrainConfig(mode=mode, npos=4096, lr=0.1)
     schedule = optim.exp_lr(config.exp_gamma, config.lr_update_freq)

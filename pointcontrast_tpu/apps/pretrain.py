@@ -105,12 +105,17 @@ def main(argv: list[str] | None = None):
         conv0_kernel_size=cfg.net.conv1_kernel_size,
         layout=cfg.data.get("layout", "voxel"),
     )
+    import jax.numpy as jnp
+
     model = load_model(cfg.net.model)(
         in_channels=3,
         out_channels=cfg.net.model_n_out,
         conv1_kernel_size=cfg.net.conv1_kernel_size,
         bn_momentum=cfg.opt.bn_momentum,
         normalize_feature=cfg.net.normalize_feature,
+        # activations dtype; params/norm stats stay f32.  bfloat16 keeps the
+        # level-0 gather table inside the fast-gather footprint (PERF.md).
+        dtype=jnp.dtype(cfg.net.get("dtype", "float32")),
     )
     tcfg = PretrainConfig(
         mode=mode,

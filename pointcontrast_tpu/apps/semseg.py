@@ -109,11 +109,15 @@ def main(argv: list[str] | None = None):
         crf=crf_cfg,
     )
 
+    import jax.numpy as jnp
+
     model = load_model(cfg.net.model)(
         in_channels=3,
         out_channels=train_ds.num_classes,
         conv1_kernel_size=cfg.net.conv1_kernel_size,
         bn_momentum=cfg.optimizer.bn_momentum,
+        # activations dtype (params/norm stats stay f32); see PERF.md
+        dtype=jnp.dtype(cfg.net.get("dtype", "float32")),
     )
     if wrapper_type:
         from pointcontrast_tpu.semseg.crf import BilateralCRF, TrilateralCRF

@@ -29,14 +29,23 @@ def mask_rows(features: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
 
 
 def _conv_core(features, nbr, weights):
-    """Scan-form gather-GEMM conv (no bias/mask): the shared fwd kernel."""
+    """Scan-form gather-GEMM conv (no bias/mask): the shared fwd kernel.
+
+    The gathered table ``y`` is kept in the COMPUTE dtype (not widened to
+    f32): XLA's row gather collapses once its operand exceeds the ~8-16 MB
+    VMEM footprint (measured round 3: 9.2 ns/row at 8 MB, 19.7 at 33 MB,
+    63.7 at 33 MB wide rows — experiments/ probes), so a bf16 activation
+    table at level-0 scale stays on the fast path where an f32 one does
+    not.  Accumulation stays f32."""
     k, n_out = nbr.shape
     cout = weights.shape[-1]
 
     def body(acc, inputs):
         w_k, nbr_k = inputs
-        y = jnp.dot(features, w_k, preferred_element_type=jnp.float32)
-        return acc + jnp.take(y, nbr_k, axis=0), None
+        y = jnp.dot(
+            features, w_k, preferred_element_type=jnp.float32
+        ).astype(features.dtype)
+        return acc + jnp.take(y, nbr_k, axis=0).astype(jnp.float32), None
 
     acc0 = jnp.zeros((n_out, cout), jnp.float32)
     out, _ = jax.lax.scan(body, acc0, (weights, nbr))
