@@ -66,11 +66,33 @@ def d_conv(x, w, offsets):
 def d_conv_down(x, w):
     """Stride-2 kernel-2 conv: out[p] = sum_o W_o x[2p + o], offsets in the
     OFFS2 enumeration order."""
+    return d_conv_strided(x, w, OFFS2, pad=0)
+
+
+def d_conv_strided(x, w, offsets, pad):
+    """General stride-2 conv: out[p] = sum_o W_o x[2p + o] for offsets in
+    [-pad, ..]; covers k=2 (pad 0, OFFS2) and k=3 (pad 1, OFFS3 — the
+    down_nbr3 maps of the ResNet family's strided residual blocks)."""
+    g2 = x.shape[1] // 2
+    if pad:
+        x = jnp.pad(x, [(0, 0)] + [(pad, pad)] * 3 + [(0, 0)])
+    out = 0.0
+    for i, o in enumerate(np.asarray(offsets)):
+        sl = x[:, o[0] + pad::2, o[1] + pad::2, o[2] + pad::2, :]
+        out = out + jnp.einsum(
+            "bxyzc,cd->bxyzd", sl[:, :g2, :g2, :g2, :], w[i]
+        )
+    return out
+
+
+def d_sum_pool2(x):
+    """Kernel-2 stride-2 sum pool (ops.sparse_sum_pool twin): empty cells
+    hold zero so a plain sum matches the present-children sum."""
     g2 = x.shape[1] // 2
     out = 0.0
-    for i, o in enumerate(np.asarray(OFFS2)):
+    for o in np.asarray(OFFS2):
         sl = x[:, o[0]::2, o[1]::2, o[2]::2, :][:, :g2, :g2, :g2, :]
-        out = out + jnp.einsum("bxyzc,cd->bxyzd", sl, w[i])
+        out = out + sl
     return out
 
 
@@ -190,6 +212,43 @@ def dense_forward(variables, grid0, masks, model, conv1_ks, train=False,
         sq = jnp.sum(jnp.square(out), axis=-1, keepdims=True)
         out = out * jax.lax.rsqrt(jnp.maximum(sq, 1e-12)) * masks[0]
     return out, inter
+
+
+def dense_resnet_forward(variables, grid0, masks, model, train=False):
+    """Dense twin of ResNetBase.__call__ (nn/resnet.py): stem -> k2s2 sum
+    pool -> 4 stride-2 residual layers (k3s2 first block + 1x1-center-child
+    shortcut) -> 1x1 head at level 5."""
+    p, s = variables["params"], variables["batch_stats"]
+
+    out = d_conv(grid0, p["conv1"]["kernel"], OFFS3) * masks[0]
+    out = jax.nn.relu(d_bn(out, masks[0], p["bn1"], s["bn1"], train))
+    out = d_sum_pool2(out) * masks[1]
+
+    for i in range(4):
+        blk = p[f"layer{i + 1}_0"]
+        sblk = s[f"layer{i + 1}_0"]
+        m_out = masks[2 + i]
+        # BasicBlock-shaped strided block (resnet.py _StridedBlock)
+        y = d_conv_strided(out, blk["conv1"]["kernel"], OFFS3, pad=1) * m_out
+        y = jax.nn.relu(d_bn(y, m_out, blk["norm1"], sblk["norm1"], train))
+        y = d_conv(y, blk["conv2"]["kernel"], OFFS3) * m_out
+        y = d_bn(y, m_out, blk["norm2"], sblk["norm2"], train)
+        # 1x1 stride-2 shortcut: center child x[2p] (down_nbr[0])
+        g2 = out.shape[1] // 2
+        center = out[:, ::2, ::2, ::2, :][:, :g2, :g2, :g2, :]
+        res = jnp.einsum(
+            "bxyzc,cd->bxyzd", center, blk["downsample_conv"]["kernel"][0]
+        ) * m_out
+        res = d_bn(res, m_out, blk["downsample_norm"],
+                   sblk["downsample_norm"], train)
+        out = jax.nn.relu(y + res)
+        b = 1
+        while f"layer{i + 1}_{b}" in p:
+            out = d_block(out, m_out, p[f"layer{i + 1}_{b}"],
+                          s[f"layer{i + 1}_{b}"], train)
+            b += 1
+
+    return d_linear(out, masks[5], p["final"])
 
 
 # ----------------------------------------------------------------- fixtures
@@ -361,6 +420,49 @@ class TestDenseOracle:
             read_at(dense_out, meta.coords[0]),
             rtol=1e-4, atol=1e-4,
         )
+
+    def test_resnet18_forward_parity(self):
+        """ResNet family twin: exercises the k3-stride-2 down_nbr3 maps,
+        the k2s2 sum pool, and the center-child 1x1 strided shortcut —
+        none of which the Res16UNet oracle touches (reference
+        downstream/semseg/models/resnet.py:15-170)."""
+        rng = np.random.RandomState(5)
+        g0 = 32  # 6 levels: 32 .. 1
+        model = load_model("ResNet18")(in_channels=3, out_channels=13)
+        coords = []
+        for b in range(2):
+            flat = rng.choice(g0 ** 3, 400, replace=False)
+            xyz = np.stack(np.unravel_index(flat, (g0,) * 3), axis=1)
+            coords.append(np.concatenate(
+                [np.full((400, 1), b), xyz], axis=1))
+        coords = np.concatenate(coords).astype(np.int32)
+        pyr, meta = build_pyramid(
+            coords, 6, npads=[1024, 1024, 768, 192, 40, 8],
+            allow_truncate=False, build_down3=True,
+        )
+        feats_rows = rng.randn(len(coords), 3).astype(np.float32)
+        feats = np.zeros((1024, 3), np.float32)
+        feats[: len(coords)] = feats_rows
+        variables = jax.jit(
+            lambda r, f, p: model.init(r, f, p, train=False)
+        )(jax.random.PRNGKey(0), jnp.asarray(feats), pyr)
+        variables = _randomize_stats(variables, rng)
+
+        sparse_out = model.apply(variables, jnp.asarray(feats), pyr,
+                                 train=False)
+        grid0 = to_dense(coords, feats_rows, g0, 3, 2)
+        masks = [
+            jnp.asarray(mask_of(meta.coords[l], g0 >> l, 2)) for l in range(6)
+        ]
+        dense_out = dense_resnet_forward(
+            variables, jnp.asarray(grid0), masks, model
+        )
+        np.testing.assert_allclose(
+            np.asarray(sparse_out)[: meta.counts[5]],
+            read_at(dense_out, meta.coords[5]),
+            rtol=1e-4, atol=1e-4,
+        )
+        assert np.all(np.asarray(sparse_out)[meta.counts[5]:] == 0)
 
     def test_res16unet14_forward_parity(self):
         """A second family member (1-block stages) through the same oracle."""
