@@ -71,20 +71,37 @@ def kernel_offsets(
     if region == "hybrid":
         if axis_types is None:
             raise ValueError("hybrid region requires axis_types")
-        # Cube over the cube axes, cross over the cross axes: the offset set is
-        # the cube product, with cross axes restricted to one-hot deviations.
-        cube_axes = [d for d, t in enumerate(axis_types) if t == "hypercube"]
-        cross_axes = [d for d, t in enumerate(axis_types) if t == "hypercross"]
-        cube_part = kernel_offsets(
-            tuple(ks[d] for d in cube_axes), len(cube_axes), "hypercube", dilation
-        )
-        cross_part = kernel_offsets(
-            tuple(ks[d] for d in cross_axes), len(cross_axes), "hypercross", dilation
-        )
-        offs = np.zeros((len(cross_part), len(cube_part), dimension), dtype=np.int32)
-        offs[:, :, cube_axes] = cube_part[None, :, :]
-        offs[:, :, cross_axes] = cross_part[:, None, :]
-        out = np.ascontiguousarray(offs.reshape(-1, dimension))
+        # ME's HYBRID region (ME 0.4.x Common.py::convert_region_type, the
+        # path reference models/modules/common.py:111-117 takes for
+        # SPATIAL_HYPERCUBE_TEMPORAL_HYPERCROSS): the offset list is the
+        # hypercube PRODUCT over the cube axes with every cross axis held at
+        # 0, followed by the one-hot cross-axis deviations (center excluded).
+        # Kernel volume = prod(cube ks) + sum(cross ks - 1)  -- e.g. the 4D
+        # ST nets' k=3 block convs carry 3*3*3 + 2 = 29 weights, NOT the
+        # 81-offset cube x cross product.  Enumeration order reproduces ME's
+        # list construction: each successive cube axis is expanded in the
+        # inner loop, so LATER cube axes vary fastest (unlike the C++
+        # HYPERCUBE iterator's x-fastest order); cross deviations follow in
+        # ascending per-axis offset order.
+        base = [np.zeros(dimension, dtype=np.int32)]
+        for d, t in enumerate(axis_types):
+            if t != "hypercube":
+                continue
+            base = [
+                np.concatenate([off[:d], [o], off[d + 1:]]).astype(np.int32)
+                for off in base
+                for o in _axis_offsets(ks[d], dilation)
+            ]
+        for d, t in enumerate(axis_types):
+            if t != "hypercross":
+                continue
+            for o in _axis_offsets(ks[d], dilation):
+                if o == 0:
+                    continue
+                v = np.zeros(dimension, dtype=np.int32)
+                v[d] = o
+                base.append(v)
+        out = np.stack(base)
         out.flags.writeable = False  # lru_cache shares the array
         return out
     raise ValueError(f"unknown region type: {region}")

@@ -6,8 +6,24 @@ like ``conv0p1s1.kernel``, ``bn0.bn.weight``, ``block1.0.conv1.kernel``,
 ``block1.0.downsample.0.kernel``; see
 /root/reference/pretrain/pointcontrast/model/res16unet.py:17-120 and
 modules/resnet_block.py:13-60).  ME convolution kernels are already
-``[K, Cin, Cout]`` (``[Cin, Cout]`` for 1x1), the same layout as ours, and
-both enumerate hypercube offsets x-fastest, so conversion is pure renaming:
+``[K, Cin, Cout]`` (``[Cin, Cout]`` for 1x1), the same layout as ours.
+
+Conversion is renaming plus ONE row permutation: the reference builds its
+non-block convs (stem/strided/transpose) with ConvType.SPATIAL_HYPERCUBE —
+ME's C++ HYPERCUBE region iterator, x-fastest offsets, our enumeration —
+but every *residual-block* conv with ConvType.SPATIAL_HYPERCUBE_TEMPORAL_
+HYPERCROSS (model/resnet.py:26 + _make_layer:127-137), which ME's
+KernelGenerator routes through the Python HYBRID region construction
+(ME 0.4.x Common.py::convert_region_type).  That list is built axis by
+axis with each new axis expanded in the innermost loop, so LATER axes vary
+fastest — in 3D the 27 block-conv kernel rows are stored in the base-3
+digit-reversed order of the C++ iterator.  ``block_kernel_permutation``
+reorders those rows (and only those) on the way in; ``export_state_dict``
+applies the inverse on the way out.  4D hybrid kernels (29 rows) are
+already built in ME's order by ``kernel_offsets(region='hybrid')``, so
+they pass through unchanged.
+
+The renaming map:
 
   conv0p1s1.kernel                      -> params/conv0p1s1/kernel
   bn0.bn.{weight,bias}                  -> params/bn0/{scale,bias}
@@ -26,10 +42,41 @@ Use ``load_torch_state_dict`` on a ``.pth`` file (torch CPU load) or
 """
 from __future__ import annotations
 
+import functools
 import re
 from typing import Mapping
 
 import numpy as np
+
+
+@functools.lru_cache(maxsize=None)
+def block_kernel_permutation(k_rows: int, dimension: int = 3):
+    """Row permutation taking an ME block-conv kernel to our enumeration.
+
+    ours[i] = me[perm[i]].  Returns None when the enumerations agree (1x1
+    kernels; 4D hybrid kernels, whose 29-row order our ``kernel_offsets``
+    already reproduces).  The ME-side order is computed structurally — our
+    hybrid enumerator with all-cube axis types IS ME's Python HYBRID list
+    construction — so this stays correct for any odd kernel size.  If a
+    real released checkpoint ever shows residual deltas, parity_check.py's
+    --probe-permutation flag empirically searches order mismatches; this
+    function is the single place to adjust."""
+    from pointcontrast_tpu.sparse.kernel_map import kernel_offsets, offset_index
+
+    if k_rows <= 1:
+        return None
+    k = round(k_rows ** (1.0 / dimension))
+    if k ** dimension != k_rows:  # not a cube volume (e.g. 4D hybrid 29)
+        return None
+    ours = kernel_offsets(k, dimension, "hypercube")
+    me = kernel_offsets(
+        k, dimension, "hybrid", axis_types=("hypercube",) * dimension
+    )
+    idx = offset_index(me)
+    perm = np.array([idx[tuple(int(v) for v in o)] for o in ours], np.int64)
+    if np.array_equal(perm, np.arange(k_rows)):
+        return None
+    return perm
 
 
 def load_torch_state_dict(path: str) -> dict:
@@ -112,6 +159,17 @@ def convert_state_dict(sd: Mapping[str, np.ndarray]):
             # [K, Cin, Cout]; downsample shortcut may come as [1, i, o].
             if dest[-2:] == ["downsample_conv", "kernel"] and v.ndim == 3:
                 v = v[0]
+            # Block convs were built through ME's Python HYBRID region, whose
+            # 3D row order is the digit reversal of our x-fastest enumeration
+            # (see module docstring).
+            if (
+                len(dest) == 3
+                and dest[1].startswith("SparseConv_")
+                and v.ndim == 3
+            ):
+                perm = block_kernel_permutation(v.shape[0])
+                if perm is not None:
+                    v = np.asarray(v)[perm]
             _set(params, dest, np.asarray(v))
         else:  # bn
             field = {
@@ -154,7 +212,20 @@ def export_state_dict(params, batch_stats) -> dict:
             name = _export_name(keys, is_stats, bottleneck_mods)
             if name is None:
                 raise ValueError(f"no reference name for leaf {keys}")
-            sd[name] = np.asarray(leaf)
+            v = np.asarray(leaf)
+            # Inverse of convert_state_dict's block-conv row permutation:
+            # ME stores block kernels in its Python HYBRID order.
+            if (
+                len(keys) == 3
+                and keys[1].startswith("SparseConv_")
+                and v.ndim == 3
+            ):
+                perm = block_kernel_permutation(v.shape[0])
+                if perm is not None:
+                    inv = np.empty_like(perm)
+                    inv[perm] = np.arange(len(perm))
+                    v = v[inv]
+            sd[name] = v
 
     emit(params, False)
     emit(batch_stats, True)

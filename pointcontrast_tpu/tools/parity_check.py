@@ -16,11 +16,14 @@ synthetic dataset), and reports:
     by running the torch+ME model offline), max |delta| against our forward
     on identical voxel coordinates.
 
-Offset-order caveat: ME enumerates hypercube kernel offsets in the same
-x-fastest order as ``sparse/kernel_map.py``; if a converted checkpoint shows
-large forward deltas with matched coordinates, pass ``--probe-permutation``
-to search the 48 axis-symmetry permutations of the 27-offset kernel and
-report the best match.
+Offset-order caveat: ME's C++ HYPERCUBE iterator enumerates offsets in the
+same x-fastest order as ``sparse/kernel_map.py``, and the reference's
+*block* convs — built through ME's Python HYBRID region, later-axes-fastest
+— are reordered by ``convert_torch.block_kernel_permutation`` during
+conversion.  If a converted checkpoint still shows large forward deltas
+with matched coordinates, pass ``--probe-permutation`` to search the 48
+axis-symmetry permutations of the 27-offset kernel and report the best
+match.
 """
 from __future__ import annotations
 

@@ -147,3 +147,80 @@ class TestTorchOracle:
         for j, c in enumerate(self.coords):
             np.testing.assert_allclose(
                 ours[j], ref[:, c[1], c[2], c[3]], rtol=1e-4, atol=1e-4)
+
+
+class TestBlockKernelOrder:
+    """The reference's residual-block convs are built with
+    ConvType.SPATIAL_HYPERCUBE_TEMPORAL_HYPERCROSS (model/resnet.py:26,
+    _make_layer:127-137), which ME's KernelGenerator routes through the
+    Python HYBRID region construction instead of the C++ HYPERCUBE
+    iterator.  That list expands each new axis in the innermost loop, so in
+    3D the 27 block-kernel rows are stored base-3 digit-REVERSED relative
+    to the x-fastest order of every non-block conv.  Conversion must undo
+    exactly that, for block convs only."""
+
+    def test_permutation_is_digit_reversal(self):
+        from pointcontrast_tpu.tools.convert_torch import (
+            block_kernel_permutation,
+        )
+
+        perm = block_kernel_permutation(27)
+        for i in range(27):
+            ix, iy, iz = i % 3, (i // 3) % 3, i // 9
+            assert perm[i] == iz + 3 * iy + 9 * ix
+        # 1x1 kernels and 4D hybrid (29-row) kernels pass through unchanged
+        assert block_kernel_permutation(1) is None
+        assert block_kernel_permutation(29, 4) is None
+
+    def test_convert_reorders_block_convs_only(self):
+        from pointcontrast_tpu.tools.convert_torch import convert_state_dict
+
+        me_hybrid = kernel_offsets(
+            3, 3, "hybrid", axis_types=("hypercube",) * 3
+        )
+        ours = kernel_offsets(3, 3, "hypercube")
+        # row j of the fabricated ME kernels encodes ME's offset j
+        block_kern = np.zeros((27, 1, 3), np.float32)
+        block_kern[:, 0, :] = me_hybrid
+        stem_kern = np.zeros((27, 1, 3), np.float32)
+        stem_kern[:, 0, :] = ours  # C++ iterator order
+        sd = {
+            "block1.0.conv1.kernel": block_kern,
+            "conv0p1s1.kernel": stem_kern,
+        }
+        params, _, unmatched = convert_state_dict(sd)
+        assert not unmatched
+        # after conversion, row i of BOTH kernels encodes OUR offset i
+        np.testing.assert_array_equal(
+            params["block1_0"]["SparseConv_0"]["kernel"][:, 0, :], ours
+        )
+        np.testing.assert_array_equal(
+            params["conv0p1s1"]["kernel"][:, 0, :], ours
+        )
+
+    def test_export_round_trip(self):
+        from pointcontrast_tpu.tools.convert_torch import (
+            convert_state_dict,
+            export_state_dict,
+        )
+
+        rng = np.random.RandomState(0)
+        params = {
+            "block1_0": {
+                "SparseConv_0": {
+                    "kernel": rng.randn(27, 2, 2).astype(np.float32)
+                },
+            },
+        }
+        sd = export_state_dict(params, {})
+        back, _, unmatched = convert_state_dict(sd)
+        assert not unmatched
+        np.testing.assert_array_equal(
+            back["block1_0"]["SparseConv_0"]["kernel"],
+            params["block1_0"]["SparseConv_0"]["kernel"],
+        )
+        # the exported (ME-side) kernel really is in a different row order
+        assert not np.array_equal(
+            sd["block1.0.conv1.kernel"],
+            params["block1_0"]["SparseConv_0"]["kernel"],
+        )

@@ -88,9 +88,21 @@ class TestKernelOffsets:
             (3, 3, 3, 3), 4, "hybrid",
             axis_types=("hypercube",) * 3 + ("hypercross",),
         )
-        # cube(27) x cross(3) = 81
-        assert offs.shape == (81, 4)
-        assert len(np.unique(offs, axis=0)) == 81
+        # ME HYBRID volume: prod(cube ks) + sum(cross ks - 1) = 27 + 2,
+        # NOT the 81-offset cube x cross product (ME 0.4.x Common.py
+        # convert_region_type, reached via reference modules/common.py:111).
+        assert offs.shape == (29, 4)
+        assert len(np.unique(offs, axis=0)) == 29
+        # cube part: cross axis pinned at 0, later cube axes vary fastest
+        assert np.all(offs[:27, 3] == 0)
+        np.testing.assert_array_equal(offs[0], [-1, -1, -1, 0])
+        np.testing.assert_array_equal(offs[1], [-1, -1, 0, 0])
+        np.testing.assert_array_equal(offs[3], [-1, 0, -1, 0])
+        np.testing.assert_array_equal(offs[9], [0, -1, -1, 0])
+        np.testing.assert_array_equal(offs[13], [0, 0, 0, 0])
+        # cross deviations appended last, ascending
+        np.testing.assert_array_equal(offs[27], [0, 0, 0, -1])
+        np.testing.assert_array_equal(offs[28], [0, 0, 0, 1])
 
     def test_dilation(self):
         offs = kernel_offsets(3, 3, "hypercube", dilation=2)
