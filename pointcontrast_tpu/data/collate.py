@@ -188,9 +188,12 @@ def _subsample_frame(coords, feats, keep_n, rng):
 
 
 def parse_layout(layout: str):
-    """'voxel' | 'brick' (default 2 brick levels) | 'brick:N' -> (kind, N)."""
+    """'voxel' | 'chunked' | 'brick' (default 2 brick levels) | 'brick:N'
+    -> (kind, N)."""
     if layout == "voxel":
         return "voxel", 0
+    if layout == "chunked":
+        return "chunked", 0
     if layout == "brick":
         return "brick", 2
     if layout.startswith("brick:"):
@@ -211,6 +214,17 @@ def _build_padded_pyramid(coords, scheme: PadScheme, num_batch: int,
             num_batch=num_batch,
             conv0_kernel_size=conv0_kernel_size,
             brick_levels=brick_levels,
+        )
+        return pyr, meta, rows, orphan
+    if kind == "chunked":
+        from pointcontrast_tpu.sparse.chunk import build_chunked_pyramid
+
+        pyr, meta, rows, orphan = build_chunked_pyramid(
+            coords,
+            num_levels=scheme.num_levels,
+            npads=scheme.npads,
+            num_batch=num_batch,
+            conv0_kernel_size=conv0_kernel_size,
         )
         return pyr, meta, rows, orphan
     pyr, meta = build_pyramid(

@@ -190,6 +190,7 @@ def collate_semseg(
     conv0_kernel_size: int = 3,
     layout: str = "voxel",
     crf: dict | None = None,
+    num_chunks: int | None = None,
 ) -> SemsegBatch:
     """Concatenate + pad to static shapes and build the pyramid.
 
@@ -204,6 +205,10 @@ def collate_semseg(
     normalize_color: feats = feats/255 - 0.5 (train.py:114-116).
     limit_numpoints: truncate whole samples beyond the budget, as
     cfl_collate_fn does (transforms.py:260-267).
+    num_chunks: chunked layout only — fix the number of per-sample slices
+    (pass the loader's batch_size so every batch, including short final
+    ones, compiles to the same shapes; missing samples become empty,
+    fully-masked chunks).
     """
     rng = rng or np.random.RandomState()
     coords_l, feats_l, labels_l = [], [], []
@@ -253,17 +258,28 @@ def collate_semseg(
 
     n_levels = num_levels or scheme.num_levels
     kind, brick_levels = parse_layout(layout)
-    if kind == "brick":
-        from pointcontrast_tpu.sparse.brick import build_brick_pyramid
+    if kind != "voxel":
+        if kind == "brick":
+            from pointcontrast_tpu.sparse.brick import build_brick_pyramid
 
-        pyr, meta, rows, orphan = build_brick_pyramid(
-            coords,
-            num_levels=n_levels,
-            npads=scheme.npads_for(n_levels + 1),
-            num_batch=nb,
-            conv0_kernel_size=conv0_kernel_size,
-            brick_levels=brick_levels,
-        )
+            pyr, meta, rows, orphan = build_brick_pyramid(
+                coords,
+                num_levels=n_levels,
+                npads=scheme.npads_for(n_levels + 1),
+                num_batch=nb,
+                conv0_kernel_size=conv0_kernel_size,
+                brick_levels=brick_levels,
+            )
+        else:  # chunked: per-sample slices + frame-local maps (sparse/chunk)
+            from pointcontrast_tpu.sparse.chunk import build_chunked_pyramid
+
+            pyr, meta, rows, orphan = build_chunked_pyramid(
+                coords,
+                num_levels=n_levels,
+                npads=scheme.npads,
+                num_batch=num_chunks or nb,
+                conv0_kernel_size=conv0_kernel_size,
+            )
         nrows = pyr.levels[0].valid.shape[0]
         keep = ~orphan
         fpad = np.zeros((nrows, feats.shape[1]), np.float32)
@@ -330,6 +346,7 @@ class SemsegLoader(PrefetchLoaderBase):
         self.limit_numpoints = limit_numpoints
         self.num_levels = num_levels
         self.conv0_kernel_size = conv0_kernel_size
+        self.batch_size = batch_size
         self._start_pipeline(
             dataset, batch_size, num_device_batches, shuffle, seed,
             num_shards, shard_id, num_workers, prefetch, rng_salt=17,
@@ -347,4 +364,5 @@ class SemsegLoader(PrefetchLoaderBase):
             conv0_kernel_size=self.conv0_kernel_size,
             layout=self.layout,
             crf=self.crf,
+            num_chunks=self.batch_size,
         )

@@ -211,6 +211,7 @@ def evaluate_dataset(state, dataset, scheme, num_classes: int,
             samples, scheme, ignore_label=ignore_label, shift_coords=False,
             rng=np.random.RandomState(0), num_levels=num_levels,
             conv0_kernel_size=conv0_kernel_size, layout=layout, crf=crf,
+            num_chunks=batch_size,
         )
         consumed = batch.num_samples
         pending = pending[consumed:]

@@ -96,6 +96,91 @@ def _conv_sym_bwd(rev, res, ct):
 _conv_sym.defvjp(_conv_sym_fwd, _conv_sym_bwd)
 
 
+# --------------------------------------------------------------------------
+# Chunked (per-frame) layout: rows are [B * S] with each sample confined to
+# its own S-row slice and maps stored frame-LOCAL as [K, B, S].  Gathers then
+# read [S, C] sub-tables instead of one [B*S, C] table — XLA's row-gather
+# cost grows with operand size (measured round 3: ~6.4 ns/row at a 258k-row
+# f32x96 operand vs ~3.7 chunked in a realistic fwd+bwd conv stack,
+# experiments/chunked_conv_probe.py), so at ScanNet batch scales the chunked
+# form is 1.6-2.6x faster for the same math.  Each sample's slice ends with
+# its own pad rows (local index S-1), preserving the zero-row invariant
+# per-slice.  Built by sparse.chunk.build_chunked_pyramid.
+
+
+def _chunk_view(features, num_chunks):
+    n, c = features.shape
+    return features.reshape(num_chunks, n // num_chunks, c)
+
+
+def _conv_chunk_core(features, nbr, weights):
+    """Chunked scan-form conv: per offset, one big matmul over [B, S, C]
+    followed by B per-slice gathers (unrolled; each reads an [S, C]
+    operand).  Flat [N, C] in / flat [N_out, C] out like _conv_core."""
+    k, b_, s_out = nbr.shape
+    cout = weights.shape[-1]
+    f3 = _chunk_view(features, b_)
+
+    def body(acc, inputs):
+        w_k, nbr_k = inputs
+        y = jnp.einsum(
+            "bsc,cd->bsd", f3, w_k, preferred_element_type=jnp.float32
+        ).astype(features.dtype)
+        g = jnp.stack(
+            [jnp.take(y[b], nbr_k[b], axis=0) for b in range(b_)]
+        )
+        return acc + g.astype(jnp.float32), None
+
+    acc0 = jnp.zeros((b_, s_out, cout), jnp.float32)
+    out, _ = jax.lax.scan(body, acc0, (weights, nbr))
+    return out.reshape(b_ * s_out, cout).astype(features.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _conv_chunk_sym(features, nbr, weights, rev):
+    return _conv_chunk_core(features, nbr, weights)
+
+
+def _conv_chunk_sym_fwd(features, nbr, weights, rev):
+    return _conv_chunk_core(features, nbr, weights), (features, nbr, weights)
+
+
+def _conv_chunk_sym_bwd(rev, res, ct):
+    """Scatter-free chunked backward (same identity as _conv_sym_bwd, per
+    slice)."""
+    features, nbr, weights = res
+    k, b_, s_ = nbr.shape
+    rev_rows = jnp.take(nbr, jnp.asarray(np.asarray(rev, np.int32)), axis=0)
+    f3 = _chunk_view(features, b_)
+    ct3 = _chunk_view(ct, b_)
+    f32 = jnp.float32
+
+    def body(acc, inputs):
+        w_k, nbr_rk = inputs
+        g = jnp.stack(
+            [jnp.take(ct3[b], nbr_rk[b], axis=0) for b in range(b_)]
+        )  # [B, S, cout]
+        df = acc + jnp.einsum(
+            "bsd,cd->bsc", g, w_k.astype(g.dtype), preferred_element_type=f32
+        )
+        dw_k = jnp.einsum(
+            "bsc,bsd->cd", f3.astype(f32), g.astype(f32),
+            preferred_element_type=f32,
+        )
+        return df, dw_k
+
+    acc0 = jnp.zeros(f3.shape, f32)
+    df, dw = jax.lax.scan(body, acc0, (weights, rev_rows))
+    return (
+        df.reshape(features.shape).astype(features.dtype),
+        None,
+        dw.astype(weights.dtype),
+    )
+
+
+_conv_chunk_sym.defvjp(_conv_chunk_sym_fwd, _conv_chunk_sym_bwd)
+
+
 def sparse_conv(
     features: jnp.ndarray,  # [N_in, Cin], padded rows zero
     nbr: jnp.ndarray,  # [K, N_out] gather indices into N_in (pad row for missing)
@@ -119,6 +204,22 @@ def sparse_conv(
     valid for same-level maps (N_out == N_in) with ``valid_out`` masking;
     enables the scatter-free custom backward (see ``_conv_sym_bwd``).
     """
+    if nbr.ndim == 3:  # chunked layout: nbr [K, B, S] frame-local
+        k, b_, s_out = nbr.shape
+        if (
+            rev is not None
+            and b_ * s_out == features.shape[0]
+            and valid_out is not None
+        ):
+            out = _conv_chunk_sym(features, nbr, weights, tuple(rev))
+        else:
+            out = _conv_chunk_core(features, nbr, weights)
+        if bias is not None:
+            out = out + bias
+        if valid_out is not None:
+            out = mask_rows(out, valid_out)
+        return out
+
     k, n_out = nbr.shape
     cout = weights.shape[-1]
 
@@ -157,8 +258,38 @@ def sparse_conv_transpose(
     Memory-lean scan form (like ``sparse_conv``): per offset k, compute
     F @ W_k once on the coarse level, gather parents, and keep only rows
     whose offset id is k — peak temp [N_fine, Cout] instead of
-    [N_fine, K*Cout]."""
+    [N_fine, K*Cout].
+
+    Chunked layout: ``up_parent``/``up_offset`` arrive as [B, S_fine] with
+    frame-local parent slots; gathers then read [S_coarse, C] sub-tables."""
     k, cin, cout = weights.shape
+
+    if up_parent.ndim == 2:  # chunked layout
+        b_, s_fine = up_parent.shape
+        f3 = _chunk_view(features, b_)
+
+        def cbody(acc, inputs):
+            w_k, k_idx = inputs
+            y = jnp.einsum(
+                "bsc,cd->bsd", f3, w_k, preferred_element_type=jnp.float32
+            )
+            g = jnp.stack(
+                [jnp.take(y[b], up_parent[b], axis=0) for b in range(b_)]
+            )
+            sel = (up_offset == k_idx).astype(jnp.float32)[..., None]
+            return acc + g * sel, None
+
+        acc0 = jnp.zeros((b_, s_fine, cout), jnp.float32)
+        out, _ = jax.lax.scan(
+            cbody, acc0, (weights, jnp.arange(k, dtype=jnp.int32))
+        )
+        out = out.reshape(b_ * s_fine, cout).astype(features.dtype)
+        if bias is not None:
+            out = out + bias
+        if valid_out is not None:
+            out = mask_rows(out, valid_out)
+        return out
+
     n_fine = up_parent.shape[0]
 
     def body(acc, inputs):
@@ -180,13 +311,26 @@ def sparse_conv_transpose(
     return out
 
 
+def _chunk_take(features, idx):
+    """Per-slice row gather: features [N, C] viewed as [B, S_in, C], idx
+    [B, S_out] frame-local -> [B * S_out, C]."""
+    b_ = idx.shape[0]
+    f3 = _chunk_view(features, b_)
+    out = jnp.stack([jnp.take(f3[b], idx[b], axis=0) for b in range(b_)])
+    return out.reshape(b_ * idx.shape[1], features.shape[-1])
+
+
 def sparse_sum_pool(
     features: jnp.ndarray, down_nbr: jnp.ndarray, valid_out: jnp.ndarray | None = None
 ) -> jnp.ndarray:
     """Kernel-2 stride-2 sum pooling (ME.MinkowskiSumPooling equivalent)."""
-    k, n_out = down_nbr.shape
-    g = jnp.take(features, down_nbr.reshape(-1), axis=0)
-    out = g.reshape(k, n_out, -1).sum(axis=0)
+    if down_nbr.ndim == 3:  # chunked: [K, B, S_out]
+        k = down_nbr.shape[0]
+        out = sum(_chunk_take(features, down_nbr[i]) for i in range(k))
+    else:
+        k, n_out = down_nbr.shape
+        g = jnp.take(features, down_nbr.reshape(-1), axis=0)
+        out = g.reshape(k, n_out, -1).sum(axis=0)
     if valid_out is not None:
         out = mask_rows(out, valid_out)
     return out
@@ -200,6 +344,16 @@ def sparse_avg_pool(
 ) -> jnp.ndarray:
     """Kernel-2 stride-2 average pooling over *present* children, matching
     ME.MinkowskiAvgPooling's divide-by-kernel-occupancy semantics."""
+    if down_nbr.ndim == 3:  # chunked: [K, B, S_out]
+        k = down_nbr.shape[0]
+        total = sum(_chunk_take(features, down_nbr[i]) for i in range(k))
+        cnt = sum(
+            _chunk_take(valid_in[:, None], down_nbr[i]) for i in range(k)
+        )
+        out = total / jnp.maximum(cnt, 1.0).astype(total.dtype)
+        if valid_out is not None:
+            out = mask_rows(out, valid_out)
+        return out
     k, n_out = down_nbr.shape
     g = jnp.take(features, down_nbr.reshape(-1), axis=0).reshape(k, n_out, -1)
     cnt = jnp.take(valid_in, down_nbr.reshape(-1), axis=0).reshape(k, n_out)
@@ -213,12 +367,15 @@ def sparse_avg_pool(
 
 def sparse_avg_unpool(
     features: jnp.ndarray,  # [N_coarse, C]
-    up_parent: jnp.ndarray,  # [N_fine]
+    up_parent: jnp.ndarray,  # [N_fine] (chunked: [B, S_fine] frame-local)
     valid_out: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Kernel-2 stride-2 average unpooling: broadcast the parent value to each
     child (ME.MinkowskiAvgUnpooling equivalent for the reused coord set)."""
-    out = jnp.take(features, up_parent, axis=0)
+    if up_parent.ndim == 2:  # chunked layout
+        out = _chunk_take(features, up_parent)
+    else:
+        out = jnp.take(features, up_parent, axis=0)
     if valid_out is not None:
         out = mask_rows(out, valid_out)
     return out
