@@ -30,7 +30,8 @@ class _BatchLoader:
     axis (the data-parallel mesh axis), like PairLoader/SemsegLoader."""
 
     def __init__(self, dataset, batch_size, voxel_size=None, scheme=None,
-                 shuffle=True, seed=0, num_device_batches=1):
+                 shuffle=True, seed=0, num_device_batches=1,
+                 layout="voxel"):
         from pointcontrast_tpu.data.sampler import DistributedInfSampler
         from pointcontrast_tpu.detect.datasets import collate_detection
 
@@ -38,6 +39,7 @@ class _BatchLoader:
         self.batch_size = batch_size
         self.voxel_size = voxel_size
         self.scheme = scheme
+        self.layout = layout
         self.collate = collate_detection
         self.num_device_batches = num_device_batches
         self.sampler = DistributedInfSampler(len(dataset), shuffle=shuffle, seed=seed)
@@ -47,6 +49,7 @@ class _BatchLoader:
         return self.collate(
             [self.dataset[i] for i in idxs],
             voxel_size=self.voxel_size, scheme=self.scheme,
+            layout=self.layout,
         )
 
     def __next__(self):
@@ -67,6 +70,7 @@ class _BatchLoader:
             yield self.collate(
                 [self.dataset[i] for i in idxs],
                 voxel_size=self.voxel_size, scheme=self.scheme,
+                layout=self.layout,
             )
 
 
@@ -145,16 +149,18 @@ def main(argv: list[str] | None = None):
         int(cfg.distributed.num_devices) if cfg.get("distributed") else 0
     ) or len(jax.devices())
     mesh = make_mesh(num_devices) if num_devices > 1 else None
+    layout = cfg.data.get("layout", "voxel") if use_voxels else "voxel"
     train_loader = _BatchLoader(
         train_ds, cfg.data.batch_size,
         voxel_size=cfg.data.voxel_size if use_voxels else None,
         scheme=scheme, seed=cfg.misc.seed,
         num_device_batches=num_devices if mesh is not None else 1,
+        layout=layout,
     )
     val_loader = _BatchLoader(
         val_ds, cfg.data.batch_size,
         voxel_size=cfg.data.voxel_size if use_voxels else None,
-        scheme=scheme, shuffle=False, seed=cfg.misc.seed,
+        scheme=scheme, shuffle=False, seed=cfg.misc.seed, layout=layout,
     )
 
     model = VoteNet(

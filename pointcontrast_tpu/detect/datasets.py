@@ -260,10 +260,16 @@ def collate_detection(
     samples: list[dict],
     voxel_size: float | None = None,
     scheme: PadScheme | None = None,
+    layout: str = "voxel",
 ) -> DetectionBatch:
     """Stack samples; optionally voxelize for the sparseconv backbone
     (reference voxelized_dataset.py:22-65 — feats are all-ones; here the
-    point->voxel index replaces its per-sample voxel_inds lists)."""
+    point->voxel index replaces its per-sample voxel_inds lists).
+
+    layout='chunked' builds the per-frame chunked pyramid (sparse/chunk.py
+    — faster sparse convs at ~200k-row scales); point_voxel_idx is remapped
+    to chunked rows, with dropped/orphaned voxels pointing at their own
+    slice's zero pad row."""
     out = {
         k: np.stack([s[k] for s in samples])
         for k in samples[0]
@@ -317,6 +323,33 @@ def collate_detection(
                 for b, c in enumerate(coords_l)
             ]
         )
+        if layout == "chunked":
+            from pointcontrast_tpu.sparse.chunk import build_chunked_pyramid
+
+            nb = len(samples)
+            pyr, meta, rows, orphan = build_chunked_pyramid(
+                coords, num_levels=scheme.num_levels, npads=scheme.npads,
+                num_batch=nb,
+            )
+            nrows = pyr.levels[0].valid.shape[0]
+            s0 = nrows // nb
+            feats = np.zeros((nrows, 3), np.float32)
+            feats[rows[~orphan]] = 1.0
+            pvi = np.stack(
+                [
+                    np.where(
+                        (pvi_l[b] >= 0)
+                        & ~orphan[np.maximum(pvi_l[b], 0) + offs[b]],
+                        rows[np.maximum(pvi_l[b], 0) + offs[b]],
+                        b * s0 + s0 - 1,  # slice pad row: zero features
+                    )
+                    for b in range(nb)
+                ]
+            ).astype(np.int32)
+            batch.update(
+                voxel_feats=feats, voxel_pyramid=pyr, point_voxel_idx=pvi
+            )
+            return DetectionBatch(**batch)
         pyr, meta = build_pyramid(
             coords, num_levels=scheme.num_levels, npads=scheme.npads,
             num_batch=len(samples),

@@ -339,6 +339,65 @@ class TestChunkedCollate:
         assert losses[-1] < losses[0]
         assert trainer.best_miou > 0
 
+    def test_detection_collate_chunked_point_features_match(self):
+        """collate_detection layout='chunked': per-point gathered backbone
+        features equal the flat-voxel layout's (the exact consumption path,
+        detect/votenet.py:103-105), and orphaned points read zero rows."""
+        from pointcontrast_tpu.data.collate import PadScheme
+        from pointcontrast_tpu.detect.datasets import (
+            SyntheticDetectionDataset,
+            collate_detection,
+        )
+
+        ds = SyntheticDetectionDataset(num_scenes=2, num_objects=4,
+                                       num_points=3000, seed=0)
+        scheme = PadScheme(npad0=8192, level_ratios=(1.0, 1.0, 0.5, 0.25, 0.12))
+        samples = [ds[0], ds[1]]  # __getitem__ subsamples stochastically
+        b_v = collate_detection(samples, voxel_size=0.05, scheme=scheme)
+        b_c = collate_detection(samples, voxel_size=0.05, scheme=scheme,
+                                layout="chunked")
+        model = load_model("Res16UNet14")(in_channels=3, out_channels=8)
+        variables = jax.jit(
+            lambda r, f, p: model.init(r, f, p, train=False)
+        )(jax.random.PRNGKey(0), jnp.asarray(b_v.voxel_feats),
+          b_v.voxel_pyramid)
+        out_v = model.apply(variables, jnp.asarray(b_v.voxel_feats),
+                            b_v.voxel_pyramid, train=False)
+        out_c = model.apply(variables, jnp.asarray(b_c.voxel_feats),
+                            b_c.voxel_pyramid, train=False)
+        pf_v = np.asarray(out_v)[np.asarray(b_v.point_voxel_idx)]
+        pf_c = np.asarray(out_c)[np.asarray(b_c.point_voxel_idx)]
+        np.testing.assert_allclose(pf_c, pf_v, rtol=2e-4, atol=2e-4)
+
+    def test_detection_collate_chunked_overflow_valve(self):
+        """Oversized scenes subsample; dropped/orphaned points read their
+        own slice's zero pad row (chunked analogue of
+        tests/test_robustness.py::TestDetectionCollateOverflow)."""
+        from pointcontrast_tpu.data.collate import PadScheme
+        from pointcontrast_tpu.detect.datasets import (
+            SyntheticDetectionDataset,
+            collate_detection,
+        )
+
+        ds = SyntheticDetectionDataset(num_scenes=2, num_objects=4,
+                                       num_points=6000, seed=0)
+        scheme = PadScheme(npad0=2048)
+        batch = collate_detection([ds[0], ds[1]], voxel_size=0.02,
+                                  scheme=scheme, layout="chunked")
+        nrows = batch.voxel_feats.shape[0]
+        s0 = nrows // 2
+        pvi = np.asarray(batch.point_voxel_idx)
+        assert pvi.shape == (2, 6000)
+        # each sample's points stay inside its own slice
+        assert (pvi[0] < s0).all() and (pvi[1] >= s0).all()
+        # dropped points landed on a zero row; live points on one-feature rows
+        feats = np.asarray(batch.voxel_feats)
+        pad_rows = {s0 - 1, 2 * s0 - 1}
+        live = np.asarray([r for r in pvi.reshape(-1) if r not in pad_rows])
+        assert (feats[live] == 1.0).all()
+        assert (feats[list(pad_rows)] == 0.0).all()
+        assert any(r in pad_rows for r in pvi.reshape(-1))
+
     def test_oversized_sample_orphans_gracefully(self):
         rng = np.random.RandomState(1)
         # sample 0 has 3x the rows of sample 1: per-sample chunks truncate
