@@ -15,7 +15,10 @@ Env knobs:
   PC_TPU_BENCH_MODE=nce|hardest|both   loss mode(s) to measure ("both"
       prints the headline NCE line first, then a hardest line)
   PC_TPU_BENCH_BATCH=N                 pairs per step (npad0 scales with it)
-  PC_TPU_BENCH_LAYOUT=voxel|brick      sparse layout (brick is parked)
+  PC_TPU_BENCH_LAYOUT=chunked|voxel|brick   sparse row layout.  Default
+      chunked (sparse/chunk.py): per-frame slices with frame-local maps,
+      measured 14.3 vs 12.4 pairs/s flat in round 3 — gathers read [16k, C]
+      sub-tables instead of the [131k, C] batch table.  brick is parked.
 
 vs_baseline: the reference publishes no pairs/sec (BASELINE.md); the divisor
 is a documented estimate of the 8x-V100 reference throughput *per GPU*,
@@ -37,7 +40,7 @@ BATCH_PAIRS = int(os.environ.get("PC_TPU_BENCH_BATCH", "4"))
 POINTS_PER_FRAME = 45000  # saturates the visible surfaces at 2.5 cm
 ROOM_SIZE = 1.75  # ~15.5k voxels/frame, the reference's assumed frame size
 NPAD0 = BATCH_PAIRS * 32768  # both frames fused into one sparse batch
-LAYOUT = os.environ.get("PC_TPU_BENCH_LAYOUT", "voxel")
+LAYOUT = os.environ.get("PC_TPU_BENCH_LAYOUT", "chunked")
 MODE = os.environ.get("PC_TPU_BENCH_MODE", "nce")
 DTYPE = os.environ.get("PC_TPU_BENCH_DTYPE", "float32")  # activations dtype
 # (params and norm statistics stay f32 either way; bf16 keeps the level-0

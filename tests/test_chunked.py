@@ -248,6 +248,40 @@ class TestChunkedCollate:
                                   b_c.pair_valid, temperature=0.4)
         np.testing.assert_allclose(float(l_v), float(l_c), rtol=1e-4)
 
+    def test_hardest_mode_loss_invariant_across_layouts(self):
+        """Hardest-contrastive tensors (pos/cand indices + packed collision
+        bitmaps) survive the chunked row remap: same rng -> same loss."""
+        from pointcontrast_tpu.losses.contrastive import (
+            hardest_contrastive_loss,
+        )
+
+        ds = SyntheticPairDataset(num_pairs=2, points_per_frame=400, seed=0)
+        samples = [ds[0], ds[1]]
+        scheme = PadScheme(npad0=4096, level_ratios=(1.0,) * 5)
+        kw = dict(mode="hardest", npos=64, num_pos=64, num_hn=32,
+                  fuse_frames=True)
+        b_v = collate_pair(samples, scheme, rng=np.random.RandomState(7), **kw)
+        b_c = collate_pair(samples, scheme, rng=np.random.RandomState(7),
+                           layout="chunked", **kw)
+        assert float(np.asarray(b_c.truncated_voxels)) == 0
+
+        model = load_model("Res16UNet14")(in_channels=3, out_channels=8,
+                                          normalize_feature=True)
+        variables = jax.jit(
+            lambda r, f, p: model.init(r, f, p, train=False)
+        )(jax.random.PRNGKey(0), b_v.feats0, b_v.pyramid0)
+
+        def loss_of(b):
+            out = model.apply(variables, b.feats0, b.pyramid0, train=False)
+            return hardest_contrastive_loss(
+                out, out, b.pos0_idx, b.pos1_idx, b.pos_valid,
+                b.cand0_idx, b.cand0_valid, b.cand1_idx, b.cand1_valid,
+                b.collide0, b.collide1,
+            )
+        (pos_v, neg_v), (pos_c, neg_c) = loss_of(b_v), loss_of(b_c)
+        np.testing.assert_allclose(float(pos_v), float(pos_c), rtol=1e-4)
+        np.testing.assert_allclose(float(neg_v), float(neg_c), rtol=1e-4)
+
     def test_semseg_collate_parity_and_fixed_chunks(self):
         """collate_semseg layout='chunked': label-aligned logits match the
         voxel layout, and num_chunks pins shapes for short batches."""
