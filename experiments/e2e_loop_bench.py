@@ -31,9 +31,12 @@ def measure(num_workers: int) -> float:
         num_pairs=24, points_per_frame=45000, room_size=1.75, seed=0,
     )
     scheme = PadScheme.scannet(npad0=131072)
+    import os
+
     loader = PairLoader(
         ds, batch_size=BATCH, scheme=scheme, mode="nce", npos=4096,
         num_workers=num_workers, seed=0, fuse_frames=True,
+        layout=os.environ.get("PC_TPU_BENCH_LAYOUT", "chunked"),
     )
     model = load_model("Res16UNet34C")(
         in_channels=3, out_channels=32, normalize_feature=True
