@@ -28,7 +28,23 @@ def mask_rows(features: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     return features * valid[:, None].astype(features.dtype)
 
 
-def _conv_core(features, nbr, weights):
+def _center_of(rev) -> int | None:
+    """Index of the zero offset in a kernel: the unique fixed point of the
+    offset-reversal permutation (rev[k] == k iff offset_k == -offset_k == 0).
+    Derived statically from the (tuple) rev, so the conv cores can skip the
+    center's gather entirely — for same-level maps the center map is the
+    identity by construction (offset-0 neighbor of a voxel is itself; pad
+    rows differ only in gathering another pad row, and pad features are
+    exactly zero either way)."""
+    if rev is None:
+        return None
+    for i, r in enumerate(rev):
+        if r == i:
+            return i
+    return None
+
+
+def _conv_core(features, nbr, weights, center: int | None = None):
     """Scan-form gather-GEMM conv (no bias/mask): the shared fwd kernel.
 
     The gathered table ``y`` is kept in the COMPUTE dtype (not widened to
@@ -36,7 +52,16 @@ def _conv_core(features, nbr, weights):
     VMEM footprint (measured round 3: 9.2 ns/row at 8 MB, 19.7 at 33 MB,
     63.7 at 33 MB wide rows — experiments/ probes), so a bf16 activation
     table at level-0 scale stays on the fast path where an f32 one does
-    not.  Accumulation stays f32."""
+    not.  Accumulation stays f32.
+
+    center: static index of the identity (zero) offset for same-level maps;
+    its contribution is F @ W_center directly — no gather (saves 1/K of the
+    conv's row traffic; valid because nbr[center] is the identity on valid
+    rows and pad-row features are exactly zero).  The split-scan form keeps
+    the accumulation ORDER (and the compute-dtype cast chain) identical to
+    the dense scan, so results are bit-compatible with the no-skip path —
+    train-mode BN amplifies even summation-order noise (see
+    tests/test_dense_oracle.py train-mode docstring)."""
     k, n_out = nbr.shape
     cout = weights.shape[-1]
 
@@ -47,18 +72,35 @@ def _conv_core(features, nbr, weights):
         ).astype(features.dtype)
         return acc + jnp.take(y, nbr_k, axis=0).astype(jnp.float32), None
 
-    acc0 = jnp.zeros((n_out, cout), jnp.float32)
-    out, _ = jax.lax.scan(body, acc0, (weights, nbr))
+    def seg(acc, w_seg, nbr_seg):
+        if w_seg.shape[0] == 0:
+            return acc
+        out, _ = jax.lax.scan(body, acc, (w_seg, nbr_seg))
+        return out
+
+    acc = jnp.zeros((n_out, cout), jnp.float32)
+    if center is None:
+        out = seg(acc, weights, nbr)
+    else:
+        acc = seg(acc, weights[:center], nbr[:center])
+        y_c = jnp.dot(
+            features, weights[center], preferred_element_type=jnp.float32
+        ).astype(features.dtype)
+        acc = acc + y_c.astype(jnp.float32)
+        out = seg(acc, weights[center + 1:], nbr[center + 1:])
     return out.astype(features.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _conv_sym(features, nbr, weights, rev):
-    return _conv_core(features, nbr, weights)
+    return _conv_core(features, nbr, weights, center=_center_of(rev))
 
 
 def _conv_sym_fwd(features, nbr, weights, rev):
-    return _conv_core(features, nbr, weights), (features, nbr, weights)
+    return (
+        _conv_core(features, nbr, weights, center=_center_of(rev)),
+        (features, nbr, weights),
+    )
 
 
 def _conv_sym_bwd(rev, res, ct):
@@ -73,11 +115,13 @@ def _conv_sym_bwd(rev, res, ct):
 
     -- the backward costs one gather + two matmuls per offset, the same row
     traffic as the forward, instead of autodiff's per-step scatter-adds and
-    stacked scan residuals (measured 3-4x slower and OOM-prone)."""
+    stacked scan residuals (measured 3-4x slower and OOM-prone).  The center
+    (zero) offset skips its gather like the forward: take(ct, nbr[center])
+    == ct up to pad rows whose product terms are zero anyway."""
     features, nbr, weights = res
-    rev_rows = jnp.take(nbr, jnp.asarray(np.asarray(rev, np.int32)), axis=0)
     cin = features.shape[-1]
     f32 = jnp.float32
+    center = _center_of(rev)
 
     def body(acc, inputs):
         w_k, nbr_rk = inputs
@@ -88,8 +132,26 @@ def _conv_sym_bwd(rev, res, ct):
                        preferred_element_type=f32)
         return df, dw_k
 
-    acc0 = jnp.zeros((features.shape[0], cin), f32)
-    df, dw = jax.lax.scan(body, acc0, (weights, rev_rows))
+    rev_idx = np.asarray(rev, np.int32)
+
+    def seg(acc, lo, hi):
+        if lo == hi:
+            return acc, jnp.zeros((0, cin, weights.shape[-1]), f32)
+        rows = jnp.take(nbr, jnp.asarray(rev_idx[lo:hi]), axis=0)
+        return jax.lax.scan(body, acc, (weights[lo:hi], rows))
+
+    acc = jnp.zeros((features.shape[0], cin), f32)
+    if center is None:
+        df, dw = seg(acc, 0, len(rev))
+    else:
+        df, dw_a = seg(acc, 0, center)
+        w_c = weights[center]
+        df = df + jnp.dot(ct, w_c.T.astype(ct.dtype),
+                          preferred_element_type=f32)
+        dw_c = jnp.dot(features.astype(f32).T, ct.astype(f32),
+                       preferred_element_type=f32)
+        df, dw_b = seg(df, center + 1, len(rev))
+        dw = jnp.concatenate([dw_a, dw_c[None], dw_b], axis=0)
     return df.astype(features.dtype), None, dw.astype(weights.dtype)
 
 
@@ -113,10 +175,13 @@ def _chunk_view(features, num_chunks):
     return features.reshape(num_chunks, n // num_chunks, c)
 
 
-def _conv_chunk_core(features, nbr, weights):
+def _conv_chunk_core(features, nbr, weights, center: int | None = None):
     """Chunked scan-form conv: per offset, one big matmul over [B, S, C]
     followed by B per-slice gathers (unrolled; each reads an [S, C]
-    operand).  Flat [N, C] in / flat [N_out, C] out like _conv_core."""
+    operand).  Flat [N, C] in / flat [N_out, C] out like _conv_core.
+
+    center: static identity-offset index (see _conv_core) — contributes
+    F @ W_center with no gather."""
     k, b_, s_out = nbr.shape
     cout = weights.shape[-1]
     f3 = _chunk_view(features, b_)
@@ -131,29 +196,47 @@ def _conv_chunk_core(features, nbr, weights):
         )
         return acc + g.astype(jnp.float32), None
 
-    acc0 = jnp.zeros((b_, s_out, cout), jnp.float32)
-    out, _ = jax.lax.scan(body, acc0, (weights, nbr))
+    def seg(acc, w_seg, nbr_seg):
+        if w_seg.shape[0] == 0:
+            return acc
+        out, _ = jax.lax.scan(body, acc, (w_seg, nbr_seg))
+        return out
+
+    acc = jnp.zeros((b_, s_out, cout), jnp.float32)
+    if center is None:
+        out = seg(acc, weights, nbr)
+    else:
+        acc = seg(acc, weights[:center], nbr[:center])
+        y_c = jnp.einsum(
+            "bsc,cd->bsd", f3, weights[center],
+            preferred_element_type=jnp.float32,
+        ).astype(features.dtype)
+        acc = acc + y_c.astype(jnp.float32)
+        out = seg(acc, weights[center + 1:], nbr[center + 1:])
     return out.reshape(b_ * s_out, cout).astype(features.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _conv_chunk_sym(features, nbr, weights, rev):
-    return _conv_chunk_core(features, nbr, weights)
+    return _conv_chunk_core(features, nbr, weights, center=_center_of(rev))
 
 
 def _conv_chunk_sym_fwd(features, nbr, weights, rev):
-    return _conv_chunk_core(features, nbr, weights), (features, nbr, weights)
+    return (
+        _conv_chunk_core(features, nbr, weights, center=_center_of(rev)),
+        (features, nbr, weights),
+    )
 
 
 def _conv_chunk_sym_bwd(rev, res, ct):
     """Scatter-free chunked backward (same identity as _conv_sym_bwd, per
-    slice)."""
+    slice; center offset skips its gather like the forward)."""
     features, nbr, weights = res
     k, b_, s_ = nbr.shape
-    rev_rows = jnp.take(nbr, jnp.asarray(np.asarray(rev, np.int32)), axis=0)
     f3 = _chunk_view(features, b_)
     ct3 = _chunk_view(ct, b_)
     f32 = jnp.float32
+    center = _center_of(rev)
 
     def body(acc, inputs):
         w_k, nbr_rk = inputs
@@ -169,8 +252,31 @@ def _conv_chunk_sym_bwd(rev, res, ct):
         )
         return df, dw_k
 
-    acc0 = jnp.zeros(f3.shape, f32)
-    df, dw = jax.lax.scan(body, acc0, (weights, rev_rows))
+    rev_idx = np.asarray(rev, np.int32)
+    cin = f3.shape[-1]
+
+    def seg(acc, lo, hi):
+        if lo == hi:
+            return acc, jnp.zeros((0, cin, weights.shape[-1]), f32)
+        rows = jnp.take(nbr, jnp.asarray(rev_idx[lo:hi]), axis=0)
+        return jax.lax.scan(body, acc, (weights[lo:hi], rows))
+
+    acc = jnp.zeros(f3.shape, f32)
+    if center is None:
+        df, dw = seg(acc, 0, len(rev))
+    else:
+        df, dw_a = seg(acc, 0, center)
+        w_c = weights[center]
+        df = df + jnp.einsum(
+            "bsd,cd->bsc", ct3, w_c.astype(ct3.dtype),
+            preferred_element_type=f32,
+        )
+        dw_c = jnp.einsum(
+            "bsc,bsd->cd", f3.astype(f32), ct3.astype(f32),
+            preferred_element_type=f32,
+        )
+        df, dw_b = seg(df, center + 1, len(rev))
+        dw = jnp.concatenate([dw_a, dw_c[None], dw_b], axis=0)
     return (
         df.reshape(features.shape).astype(features.dtype),
         None,
@@ -241,6 +347,81 @@ def sparse_conv(
     return out
 
 
+def _conv_tr_chunk_core(features, up_parent, up_offset, weights):
+    """Fused chunked transposed conv: ONE gather per slice from the stacked
+    per-offset table instead of K gathers + select masks.
+
+    Each fine voxel has exactly one (parent, offset) pair (topology.py:17-19),
+    so with ys[b] = stack_k(F_b @ W_k) reshaped to [K*S_c, Cout], the output
+    row i is ys[b][up_offset[i] * S_c + up_parent[i]] — K (=8) times fewer
+    gathered rows than the scan-over-offsets form, and no [B, S_fine, Cout]
+    select-mask temporaries.  Pad fine rows index (offset 0, coarse pad row),
+    whose table row is zero because pad features are zero."""
+    k, cin, cout = weights.shape
+    b_, s_fine = up_parent.shape
+    f3 = _chunk_view(features, b_)  # [B, S_c, Cin]
+    s_c = f3.shape[1]
+    ys = jnp.einsum(
+        "bsc,kcd->bksd", f3, weights, preferred_element_type=jnp.float32
+    ).astype(features.dtype)
+    ys = ys.reshape(b_, k * s_c, cout)
+    idx = up_offset.astype(jnp.int32) * s_c + up_parent.astype(jnp.int32)
+    g = jnp.stack([jnp.take(ys[b], idx[b], axis=0) for b in range(b_)])
+    return g.reshape(b_ * s_fine, cout)
+
+
+@jax.custom_vjp
+def _conv_tr_chunk(features, up_parent, up_offset, weights):
+    return _conv_tr_chunk_core(features, up_parent, up_offset, weights)
+
+
+def _conv_tr_chunk_fwd(features, up_parent, up_offset, weights):
+    return (
+        _conv_tr_chunk_core(features, up_parent, up_offset, weights),
+        (features, up_parent, up_offset, weights),
+    )
+
+
+def _conv_tr_chunk_bwd(res, ct):
+    """Input-residual backward: ONE scatter-add of the S_fine cotangent rows
+    into the stacked [K*S_c, Cout] table per slice (the (offset, parent)
+    pairs of a sample's valid rows are unique, and pad rows -- which all
+    alias (0, pad) -- carry zero cotangent because consumers mask), then two
+    einsums.  Autodiff of the scan form instead pays K scatter-adds plus a
+    [K, B, S_c, Cout] residual stack held across the whole backward."""
+    features, up_parent, up_offset, weights = res
+    k, cin, cout = weights.shape
+    b_, s_fine = up_parent.shape
+    f3 = _chunk_view(features, b_)
+    s_c = f3.shape[1]
+    f32 = jnp.float32
+    ct3 = ct.reshape(b_, s_fine, cout)
+    idx = up_offset.astype(jnp.int32) * s_c + up_parent.astype(jnp.int32)
+    dy = jnp.stack(
+        [
+            jnp.zeros((k * s_c, cout), f32).at[idx[b]].add(
+                ct3[b].astype(f32)
+            )
+            for b in range(b_)
+        ]
+    ).reshape(b_, k, s_c, cout)
+    df = jnp.einsum(
+        "bksd,kcd->bsc", dy, weights.astype(f32), preferred_element_type=f32
+    )
+    dw = jnp.einsum(
+        "bsc,bksd->kcd", f3.astype(f32), dy, preferred_element_type=f32
+    )
+    return (
+        df.reshape(features.shape).astype(features.dtype),
+        None,
+        None,
+        dw.astype(weights.dtype),
+    )
+
+
+_conv_tr_chunk.defvjp(_conv_tr_chunk_fwd, _conv_tr_chunk_bwd)
+
+
 def sparse_conv_transpose(
     features: jnp.ndarray,  # [N_coarse, Cin], padded rows zero
     up_parent: jnp.ndarray,  # [N_fine] index of each fine voxel's coarse parent
@@ -261,29 +442,13 @@ def sparse_conv_transpose(
     [N_fine, K*Cout].
 
     Chunked layout: ``up_parent``/``up_offset`` arrive as [B, S_fine] with
-    frame-local parent slots; gathers then read [S_coarse, C] sub-tables."""
+    frame-local parent slots; the fused form (_conv_tr_chunk) gathers ONE
+    row per fine voxel from the stacked [K*S_coarse, Cout] per-offset table
+    and differentiates through a single-scatter custom VJP."""
     k, cin, cout = weights.shape
 
     if up_parent.ndim == 2:  # chunked layout
-        b_, s_fine = up_parent.shape
-        f3 = _chunk_view(features, b_)
-
-        def cbody(acc, inputs):
-            w_k, k_idx = inputs
-            y = jnp.einsum(
-                "bsc,cd->bsd", f3, w_k, preferred_element_type=jnp.float32
-            )
-            g = jnp.stack(
-                [jnp.take(y[b], up_parent[b], axis=0) for b in range(b_)]
-            )
-            sel = (up_offset == k_idx).astype(jnp.float32)[..., None]
-            return acc + g * sel, None
-
-        acc0 = jnp.zeros((b_, s_fine, cout), jnp.float32)
-        out, _ = jax.lax.scan(
-            cbody, acc0, (weights, jnp.arange(k, dtype=jnp.int32))
-        )
-        out = out.reshape(b_ * s_fine, cout).astype(features.dtype)
+        out = _conv_tr_chunk(features, up_parent, up_offset, weights)
         if bias is not None:
             out = out + bias
         if valid_out is not None:

@@ -95,6 +95,65 @@ class TestTransposeConvGrad:
         np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-3)
 
 
+class TestChunkedTransposeConvGrad:
+    """FD gradcheck of the fused chunked transposed conv (_conv_tr_chunk):
+    one stacked-table gather forward, single-scatter custom VJP backward."""
+
+    @pytest.fixture(scope="class")
+    def ctopo(self):
+        from pointcontrast_tpu.sparse.chunk import build_chunked_pyramid
+
+        rng = np.random.RandomState(1)
+        coords = np.concatenate(
+            [np.repeat([[0], [1]], 30, axis=0), rng.randint(0, 6, (60, 3))], 1
+        )
+        uc = coords[sparse_quantize(coords, return_index=True)]
+        pyr, meta, rows, orphan = build_chunked_pyramid(
+            uc, 2, npads=[80, 48], num_batch=2
+        )
+        return pyr, meta, rng
+
+    def test_grad_wrt_features(self, ctopo):
+        pyr, meta, rng = ctopo
+        lv = pyr.levels[0]
+        assert lv.up_parent.ndim == 2  # chunked [B, S_fine]
+        c = 2
+        coarse = np.zeros((meta.npads[1], c))
+        coarse[: meta.counts[1]] = rng.randn(meta.counts[1], c) * 0.5
+        coarse *= np.asarray(pyr.levels[1].valid)[:, None]
+        w = jnp.asarray(rng.randn(8, c, 3) * 0.3, jnp.float32)
+
+        def loss(f):
+            out = ops.sparse_conv_transpose(
+                f, lv.up_parent, lv.up_offset, w, valid_out=lv.valid
+            )
+            return jnp.sum(out * out)
+
+        got = np.asarray(jax.grad(loss)(jnp.asarray(coarse, jnp.float32)))
+        want = finite_diff(loss, coarse)
+        np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-3)
+
+    def test_grad_wrt_weights(self, ctopo):
+        pyr, meta, rng = ctopo
+        lv = pyr.levels[0]
+        c = 2
+        coarse = np.zeros((meta.npads[1], c))
+        coarse[: meta.counts[1]] = rng.randn(meta.counts[1], c) * 0.5
+        coarse *= np.asarray(pyr.levels[1].valid)[:, None]
+        coarse = jnp.asarray(coarse, jnp.float32)
+        w0 = rng.randn(8, c, 3) * 0.3
+
+        def loss(w):
+            out = ops.sparse_conv_transpose(
+                coarse, lv.up_parent, lv.up_offset, w, valid_out=lv.valid
+            )
+            return jnp.sum(out * out)
+
+        got = np.asarray(jax.grad(loss)(jnp.asarray(w0, jnp.float32)))
+        want = finite_diff(loss, w0)
+        np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-3)
+
+
 class TestPoolGrad:
     def test_avg_pool_grad(self, topo):
         pyr, meta, rng = topo
