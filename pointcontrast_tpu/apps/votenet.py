@@ -129,6 +129,24 @@ def main(argv: list[str] | None = None):
             num_points=cfg.data.num_points, use_color=cfg.data.use_color,
             use_height=cfg.data.use_height, augment=False,
         )
+    elif cfg.data.dataset == "synthetic":
+        # Random box-object rooms with the ScanNet sample contract — lets
+        # the app run end-to-end without data on disk (tests / smoke runs),
+        # like the semseg app's SyntheticSemsegDataset branch.
+        from pointcontrast_tpu.detect.datasets import SyntheticDetectionDataset
+
+        dc = ScannetDatasetConfig()
+        num_scenes = int(cfg.data.get("num_scenes", 8))
+        train_ds = SyntheticDetectionDataset(
+            num_scenes=num_scenes, num_points=cfg.data.num_points,
+            use_color=cfg.data.use_color, use_height=cfg.data.use_height,
+            augment=True, seed=cfg.misc.seed,
+        )
+        val_ds = SyntheticDetectionDataset(
+            num_scenes=max(num_scenes // 2, 1),
+            num_points=cfg.data.num_points, use_color=cfg.data.use_color,
+            use_height=cfg.data.use_height, augment=False, seed=cfg.misc.seed,
+        )
     else:
         raise ValueError(f"unknown dataset {cfg.data.dataset!r}")
 

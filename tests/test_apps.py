@@ -23,6 +23,17 @@ class TestConfig:
         back = load_config(str(tmp_path / "snap.yaml"))
         assert back.to_dict() == cfg.to_dict()
 
+    def test_shipped_defaults(self):
+        """The shipped YAMLs parse and declare the measured-fastest sparse
+        row layout (chunked — PERF.md round 3: pretrain 1.15x, semseg 1.60x,
+        VoteNet sparseconv 1.11x over the flat voxel layout)."""
+        from pointcontrast_tpu.apps import pretrain, semseg, votenet
+
+        for app in (pretrain, semseg, votenet):
+            cfg = load_config(app.DEFAULT_CONFIG)
+            assert cfg.data.layout == "chunked", app.DEFAULT_CONFIG
+        assert load_config(semseg.DEFAULT_CONFIG).net.wrapper_type == ""
+
 
 class TestPretrainApp:
     def test_cli_end_to_end(self, tmp_path):
@@ -52,3 +63,25 @@ class TestPretrainApp:
             # resumes the saved config the same way, ddp_train.py:44-51)
         ])
         assert history2 == []
+
+
+class TestVotenetApp:
+    def test_cli_end_to_end_synthetic_sparseconv(self, tmp_path):
+        """The votenet app runs from the shipped default config (chunked
+        layout) with the synthetic dataset branch: one epoch + one full AP
+        eval pass, no data on disk."""
+        import numpy as np
+
+        from pointcontrast_tpu.apps.votenet import main
+
+        out = str(tmp_path / "run")
+        trainer = main([
+            "data.dataset=synthetic", "data.num_scenes=4",
+            "data.num_points=1500", "data.batch_size=2", "data.npad0=8192",
+            "data.voxel_size=0.05", "net.backbone=sparseconv",
+            "net.num_proposal=32", "optimizer.max_epoch=1",
+            "eval.eval_every=1", f"misc.out_dir={out}",
+            "distributed.num_devices=1",
+        ])
+        assert trainer.epoch == 1
+        assert os.path.exists(os.path.join(out, "weights", "weights.latest"))
