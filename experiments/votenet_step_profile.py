@@ -134,8 +134,13 @@ def main():
     print(f"fwd + loss             {t_loss * 1e3:8.1f} ms "
           f"(loss +{(t_loss - t_fwd) * 1e3:.1f})", flush=True)
 
+    # trainer._step donates its state arg (detect/train.py donate_argnums=0),
+    # so rebind the state each call — reusing a donated buffer raises a
+    # deleted-buffer RuntimeError on the second invocation.
+    cell = [state]
+
     def step():
-        s, m = trainer._step(state, batch)
+        cell[0], m = trainer._step(cell[0], batch)
         return m["loss"]
 
     t_step = timeit(step, sync_tree)
