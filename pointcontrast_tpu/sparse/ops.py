@@ -17,6 +17,7 @@ Minkowski{Avg,Sum}Pooling / MinkowskiGlobalPooling (SURVEY.md section 2.7).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -287,6 +288,149 @@ def _conv_chunk_sym_bwd(rev, res, ct):
 _conv_chunk_sym.defvjp(_conv_chunk_sym_fwd, _conv_chunk_sym_bwd)
 
 
+# --------------------------------------------------------------------------
+# Fused (im2col-per-chunk) same-level conv.  Instead of the K-step scan
+# (one [S, Cin] @ [Cin, Cout] matmul + B gathers per offset), each chunk does
+# ONE row gather of all non-center offsets in s-major order
+# ([S, G] index block -> col [S, G*Cin]) followed by ONE MXU matmul
+# [S, G*Cin] @ [G*Cin, Cout].  Rationale (round 4):
+#   - op count drops from K matmuls + K*B takes to B takes + ~B matmuls;
+#   - the matmul contraction grows from Cin (32..96 — wasting a 128-wide MXU
+#     systolic row) to G*Cin (832+ at G=26, Cin=32), restoring MXU
+#     utilization exactly like dense im2col convs;
+#   - gathered row traffic is unchanged (same K*S rows, same [S, C] operand).
+# The global (unchunked) im2col was rejected in round 1 for OOM at
+# [N, K*C] scale; per-chunk the temp is [S, G*Cin] (e.g. 54 MB at S=16k,
+# Cin=32, G=26) and ``group`` caps it.  The backward is the same
+# offset-reversal gather identity as _conv_sym_bwd, also in fused form:
+# one gather of ct rows per chunk + two matmuls.
+#
+# Gated by PC_TPU_CONV_FUSED_GROUP (offsets per fused gather; 0 = use the
+# scan form) until measured; see experiments/fused_conv_probe.py.
+
+
+def _fused_group() -> int:
+    try:
+        return int(os.environ.get("PC_TPU_CONV_FUSED_GROUP", "0"))
+    except ValueError:
+        return 0
+
+
+def _offset_groups(k: int, center: int | None, group: int):
+    """Static non-center offset order, split into gather groups."""
+    order = [i for i in range(k) if i != center]
+    group = max(1, min(group, len(order))) if order else 1
+    return [order[i:i + group] for i in range(0, len(order), group)]
+
+
+def _conv_chunk_fused_core(features, nbr, weights, rev, group):
+    k, b_, s_ = nbr.shape
+    cout = weights.shape[-1]
+    center = _center_of(rev)
+    groups = _offset_groups(k, center, group)
+    f3 = _chunk_view(features, b_)
+    f32 = jnp.float32
+    # Pre-reshape the per-group weight blocks once (shared across chunks).
+    w_blocks = [
+        weights[np.asarray(ga, np.int32)]
+        .reshape(len(ga) * weights.shape[1], cout)
+        for ga in groups
+    ]
+    outs = []
+    for b in range(b_):
+        fb = f3[b]
+        if center is not None:
+            acc = jnp.dot(fb, weights[center], preferred_element_type=f32)
+        else:
+            acc = jnp.zeros((s_, cout), f32)
+        for ga, w_g in zip(groups, w_blocks):
+            idx = jnp.transpose(
+                nbr[np.asarray(ga, np.int32), b, :]
+            ).reshape(-1)  # s-major: row s holds its G neighbor rows
+            col = jnp.take(fb, idx, axis=0).reshape(
+                s_, len(ga) * fb.shape[-1]
+            )
+            acc = acc + jnp.dot(
+                col, w_g.astype(col.dtype), preferred_element_type=f32
+            )
+        outs.append(acc)
+    return jnp.stack(outs).reshape(b_ * s_, cout).astype(features.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _conv_chunk_fused(features, nbr, weights, rev, group):
+    return _conv_chunk_fused_core(features, nbr, weights, rev, group)
+
+
+def _conv_chunk_fused_fwd(features, nbr, weights, rev, group):
+    return (
+        _conv_chunk_fused_core(features, nbr, weights, rev, group),
+        (features, nbr, weights),
+    )
+
+
+def _conv_chunk_fused_bwd(rev, group, res, ct):
+    """Fused scatter-free backward: per chunk, ONE gather of the cotangent
+    rows through the offset-reversal permutation (colc [S, G*Cout]) then
+    dF += colc @ [W_k^T]_stacked and dW += (F^T @ colc) reshaped — the same
+    gather identity as _conv_sym_bwd with all K offsets in one take."""
+    features, nbr, weights = res
+    k, b_, s_ = nbr.shape
+    cin, cout = weights.shape[1], weights.shape[2]
+    center = _center_of(rev)
+    groups = _offset_groups(k, center, group)
+    rev_np = np.asarray(rev, np.int32)
+    f3 = _chunk_view(features, b_)
+    ct3 = _chunk_view(ct, b_)
+    f32 = jnp.float32
+    # [W_k^T] stacked per group: [G*Cout, Cin]
+    wt_blocks = [
+        weights[np.asarray(ga, np.int32)]
+        .transpose(0, 2, 1)
+        .reshape(len(ga) * cout, cin)
+        for ga in groups
+    ]
+    dfs = []
+    dw = jnp.zeros((k, cin, cout), f32)
+    for b in range(b_):
+        fb, ctb = f3[b], ct3[b]
+        if center is not None:
+            df = jnp.dot(
+                ctb, weights[center].T.astype(ctb.dtype),
+                preferred_element_type=f32,
+            )
+            dw = dw.at[center].add(
+                jnp.dot(fb.astype(f32).T, ctb.astype(f32),
+                        preferred_element_type=f32)
+            )
+        else:
+            df = jnp.zeros((s_, cin), f32)
+        for ga, wt_g in zip(groups, wt_blocks):
+            g_n = len(ga)
+            idx = jnp.transpose(
+                nbr[rev_np[np.asarray(ga, np.int32)], b, :]
+            ).reshape(-1)
+            colc = jnp.take(ctb, idx, axis=0).reshape(s_, g_n * cout)
+            df = df + jnp.dot(
+                colc, wt_g.astype(colc.dtype), preferred_element_type=f32
+            )
+            dw_g = jnp.dot(
+                fb.astype(f32).T, colc.astype(f32),
+                preferred_element_type=f32,
+            )  # [Cin, G*Cout]
+            dw = dw.at[np.asarray(ga, np.int32)].add(
+                dw_g.reshape(cin, g_n, cout).transpose(1, 0, 2)
+            )
+        dfs.append(df)
+    df_all = (
+        jnp.stack(dfs).reshape(features.shape).astype(features.dtype)
+    )
+    return df_all, None, dw.astype(weights.dtype)
+
+
+_conv_chunk_fused.defvjp(_conv_chunk_fused_fwd, _conv_chunk_fused_bwd)
+
+
 def sparse_conv(
     features: jnp.ndarray,  # [N_in, Cin], padded rows zero
     nbr: jnp.ndarray,  # [K, N_out] gather indices into N_in (pad row for missing)
@@ -317,7 +461,13 @@ def sparse_conv(
             and b_ * s_out == features.shape[0]
             and valid_out is not None
         ):
-            out = _conv_chunk_sym(features, nbr, weights, tuple(rev))
+            g = _fused_group()
+            if g:
+                out = _conv_chunk_fused(
+                    features, nbr, weights, tuple(rev), g
+                )
+            else:
+                out = _conv_chunk_sym(features, nbr, weights, tuple(rev))
         else:
             out = _conv_chunk_core(features, nbr, weights)
         if bias is not None:

@@ -66,6 +66,45 @@ class TestChunkedOps:
         np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_g),
                                    rtol=1e-5, atol=1e-5)
 
+    @pytest.mark.parametrize("group", [26, 13, 9, 5])
+    def test_fused_conv_matches_scan(self, group):
+        """Fused im2col form == scan form (values AND grads), any grouping."""
+        lv = self.pyr.levels[0]
+        w = jnp.asarray(self.rng.randn(27, 6, 5).astype(np.float32))
+        nbr = jnp.asarray(np.asarray(lv.nbr))
+        rev = tuple(lv.rev)
+
+        def loss_scan(f, w):
+            out = ops._conv_chunk_sym(f, nbr, w, rev)
+            return jnp.sum(out * out), out
+
+        def loss_fused(f, w):
+            out = ops._conv_chunk_fused(f, nbr, w, rev, group)
+            return jnp.sum(out * out), out
+
+        (l_s, out_s), g_s = jax.value_and_grad(
+            loss_scan, argnums=(0, 1), has_aux=True)(self.feats, w)
+        (l_f, out_f), g_f = jax.value_and_grad(
+            loss_fused, argnums=(0, 1), has_aux=True)(self.feats, w)
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_s),
+                                   rtol=1e-5, atol=1e-5)
+        for a, b in zip(g_f, g_s):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_fused_env_selection(self, monkeypatch):
+        """PC_TPU_CONV_FUSED_GROUP routes sparse_conv to the fused kernel."""
+        lv = self.pyr.levels[0]
+        w = jnp.asarray(self.rng.randn(27, 6, 5).astype(np.float32))
+        nbr = jnp.asarray(np.asarray(lv.nbr))
+        base = ops.sparse_conv(self.feats, nbr, w,
+                               valid_out=jnp.asarray(lv.valid), rev=lv.rev)
+        monkeypatch.setenv("PC_TPU_CONV_FUSED_GROUP", "26")
+        fused = ops.sparse_conv(self.feats, nbr, w,
+                                valid_out=jnp.asarray(lv.valid), rev=lv.rev)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(base),
+                                   rtol=1e-5, atol=1e-5)
+
     def test_down_conv_and_pools_match_global(self):
         lv = self.pyr.levels[0]
         s_in = lv.valid.shape[0] // 3
