@@ -96,16 +96,9 @@ def main(argv: list[str] | None = None):
             spatial_sigma=float(cfg.net.get("wrapper_spatial_sigma", 1.0)),
             chromatic_sigma=float(cfg.net.get("wrapper_chromatic_sigma", 12.0)),
         )
-        if layout != "voxel":
-            # The CRF wrappers build bilateral-grid maps over flat batch
-            # rows; the layouts are semantically identical (sparse/chunk.py
-            # docstring), so downgrade rather than error now that the
-            # shipped config default is chunked.
-            log.warning(
-                "wrapper_type=%s requires the flat row layout; overriding "
-                "data.layout=%s -> voxel", wrapper_type, layout,
-            )
-            layout = "voxel"
+        # The bilateral-grid map is built over whatever row placement the
+        # layout uses (chunked slice rows included — build_bilateral_map
+        # rows=), so the backbone keeps its configured layout.
     train_loader = SemsegLoader(
         train_ds, cfg.data.batch_size, scheme,
         augment_shift=cfg.augmentation.shift_coords,

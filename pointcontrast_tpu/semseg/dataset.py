@@ -237,19 +237,28 @@ def collate_semseg(
     if shift_coords:
         coords[:, 1:] += rng.randint(0, 100, 3, dtype=np.int32)
     crf_nbr = None
-    if crf is not None:
-        if layout != "voxel":
-            raise ValueError("CRF wrapper requires the flat voxel layout")
+    raw_rgb = feats[:, :3].copy() if crf is not None else None
+
+    def _crf_map(sel=None, rows=None, npad=None):
+        # raw colors: first 3 feature channels BEFORE normalization.  For
+        # the chunked layout the map is built over the scattered slice rows
+        # (rows=), so the CRF head runs flat-conv on chunked logits without
+        # downgrading the backbone layout (semseg/crf.build_bilateral_map).
         from pointcontrast_tpu.semseg.crf import build_bilateral_map
 
-        # raw colors: first 3 feature channels BEFORE normalization
-        crf_nbr = build_bilateral_map(
-            coords, feats[:, :3], scheme.npads[0],
+        c = coords if sel is None else coords[sel]
+        rgb = raw_rgb if sel is None else raw_rgb[sel]
+        return build_bilateral_map(
+            c, rgb, npad if npad is not None else scheme.npads[0],
             spatial_sigma=crf.get("spatial_sigma", 1.0),
             chromatic_sigma=crf.get("chromatic_sigma", 12.0),
             kernel_size=crf.get("kernel_size", 3),
             region=crf.get("region", "hypercross"),
+            rows=rows,
         )
+
+    if crf is not None and layout == "voxel":
+        crf_nbr = _crf_map()
     if normalize_color:
         # only the RGB channels (train.py:115 `input[:, :3]`): appended
         # channels (e.g. AUGMENT_COORDS_TO_FEATS centered coords) keep scale
@@ -286,10 +295,13 @@ def collate_semseg(
         fpad[rows[keep]] = feats[keep]
         lpad = np.full(nrows, ignore_label, np.int32)
         lpad[rows[keep]] = labels[keep]
+        if crf is not None:
+            crf_nbr = _crf_map(sel=keep, rows=rows[keep], npad=nrows)
         truncated = sum(n for _, n in meta.truncated) + int(orphan.sum())
         return SemsegBatch(
             feats=fpad, labels=lpad, pyramid=pyr,
             truncated_voxels=np.asarray(truncated, np.float32),
+            crf_nbr=crf_nbr,
             num_samples=nb,
         )
     pyr, meta = build_pyramid(

@@ -260,6 +260,44 @@ class TestSemsegEndToEnd:
         assert losses[-1] < losses[0]
         assert trainer.best_miou > 0
 
+    def test_crf_map_scattered_rows_matches_flat(self):
+        """build_bilateral_map(rows=...) (chunked-layout CRF head, VERDICT r3
+        item 8): conv over scattered rows == scattering the flat conv."""
+        import jax.numpy as jnp
+
+        from pointcontrast_tpu.semseg.crf import build_bilateral_map
+        from pointcontrast_tpu.sparse import ops
+
+        rng = np.random.RandomState(3)
+        n, npad_flat, nrows = 120, 256, 512
+        coords = np.concatenate(
+            [rng.randint(0, 2, (n, 1)), rng.randint(0, 12, (n, 3))], axis=1
+        ).astype(np.int32)
+        colors = rng.randint(0, 256, (n, 3)).astype(np.float32)
+        # scatter voxels to strided rows (stand-in for chunked slice rows)
+        rows = np.sort(rng.choice(nrows - 1, n, replace=False))
+        flat = build_bilateral_map(coords, colors, npad_flat)
+        scat = build_bilateral_map(coords, colors, nrows, rows=rows)
+        w = jnp.asarray(rng.randn(flat.shape[0], 4, 4).astype(np.float32))
+        f = rng.randn(n, 4).astype(np.float32)
+        f_flat = np.zeros((npad_flat, 4), np.float32)
+        f_flat[:n] = f
+        f_scat = np.zeros((nrows, 4), np.float32)
+        f_scat[rows] = f
+        v_flat = np.zeros(npad_flat, np.float32)
+        v_flat[:n] = 1
+        v_scat = np.zeros(nrows, np.float32)
+        v_scat[rows] = 1
+        out_flat = ops.sparse_conv(
+            jnp.asarray(f_flat), jnp.asarray(flat), w,
+            valid_out=jnp.asarray(v_flat))
+        out_scat = ops.sparse_conv(
+            jnp.asarray(f_scat), jnp.asarray(scat), w,
+            valid_out=jnp.asarray(v_scat))
+        np.testing.assert_allclose(
+            np.asarray(out_scat)[rows], np.asarray(out_flat)[:n],
+            rtol=1e-5, atol=1e-5)
+
     def test_crf_wrapper_config_driven(self, tmp_path):
         """VERDICT r1 item 7: wrapper_type reachable from the semseg app
         config; BilateralCRF finetune slice trains and validates."""
@@ -270,6 +308,7 @@ class TestSemsegEndToEnd:
             "data.dataset=SyntheticSemsegDataset",
             "net.model=Res16UNet14A",
             "net.wrapper_type=BilateralCRF",
+            "data.layout=chunked",  # CRF head over chunked slice rows
             "net.wrapper_kernel_size=3",
             "net.wrapper_lr=0.05",
             "net.wrapper_iterations=2",
