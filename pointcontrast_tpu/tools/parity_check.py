@@ -77,6 +77,12 @@ def main(argv=None):
     p.add_argument("--root", default=None)
     p.add_argument("--reference-acts", default=None)
     p.add_argument("--probe-permutation", action="store_true")
+    p.add_argument("--dump-inputs", default=None, metavar="NPZ",
+                   help="write the exact voxel coords+feats this harness "
+                        "forwards, for make_reference_acts on an ME host")
+    p.add_argument("--points", type=int, default=4000,
+                   help="synthetic points per frame")
+    p.add_argument("--npad", type=int, default=16384)
     args = p.parse_args(argv)
 
     import jax
@@ -94,12 +100,26 @@ def main(argv=None):
     if args.pairs:
         ds = ScanNetMatchPairDataset(args.root, args.pairs, random_rotation=False)
     else:
-        ds = SyntheticPairDataset(num_pairs=1, points_per_frame=4000,
+        ds = SyntheticPairDataset(num_pairs=1, points_per_frame=args.points,
                                   random_rotation=False, seed=0)
     batch = collate_pair(
-        [ds[0]], PadScheme(npad0=16384), mode="nce", npos=256,
+        [ds[0]], PadScheme(npad0=args.npad), mode="nce", npos=256,
         rng=np.random.RandomState(0),
     )
+    if args.dump_inputs:
+        # the exact rows the forward consumes: the flat voxel layout packs
+        # the sample's (already-quantized) voxels at the front in input
+        # order, so sample coords + the batch column reproduce them
+        nv = int(np.asarray(batch.pyramid0.levels[0].valid).sum())
+        c0 = np.asarray(ds[0][2], np.int32)
+        assert len(c0) == nv, (len(c0), nv)
+        coords = np.concatenate(
+            [np.zeros((nv, 1), np.int32), c0], axis=1)
+        np.savez_compressed(
+            args.dump_inputs, coords=coords,
+            feats=np.asarray(batch.feats0[:nv], np.float32),
+        )
+        print(f"dumped {nv} input rows to {args.dump_inputs}")
 
     # template init to get the full tree, then overlay converted leaves
     from pointcontrast_tpu.nn.registry import load_model

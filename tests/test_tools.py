@@ -278,6 +278,45 @@ class TestParityCheckEndToEnd:
         assert m and abs(float(m.group(1)) - 1.0) < 1e-3
 
 
+class TestMEOrderFixture:
+    def test_probe_permutation_recovers_me_order(self, tmp_path, capsys):
+        """VERDICT r3 item 7: run the REAL parity CLI against the committed
+        wrong-enumeration fixture (tests/fixtures/me_order — 'ME' acts
+        produced under axis permutation #PERM_INDEX) and assert
+        --probe-permutation identifies it.  The checkpoint is regenerated
+        from the fixture's pinned seeds (see make_fixture.py docstring)."""
+        import importlib.util
+        import re
+
+        from pointcontrast_tpu.tools import parity_check
+
+        fixdir = os.path.join(os.path.dirname(__file__), "fixtures", "me_order")
+        spec = importlib.util.spec_from_file_location(
+            "me_order_fixture", os.path.join(fixdir, "make_fixture.py"))
+        fx = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(fx)
+
+        _, batch = fx.build_batch()
+        _, params, stats = fx.fabricate_variables(batch)
+        pth = tmp_path / "fabricated.pth"
+        fx.write_checkpoint(params, stats, str(pth))
+
+        rc = parity_check.main([
+            str(pth),
+            "--points", str(fx.POINTS), "--npad", str(fx.NPAD),
+            "--reference-acts", os.path.join(fixdir, "acts.npz"),
+            "--probe-permutation",
+        ])
+        assert rc == 0
+        out = capsys.readouterr().out
+        m = re.search(
+            r"probe: permutation #(\d+) reduces max \|delta\| to ([0-9.e+-]+)",
+            out)
+        assert m, out
+        assert int(m.group(1)) == fx.PERM_INDEX, out
+        assert float(m.group(2)) < 1e-4, out
+
+
 class TestBottleneckConversion:
     def test_roundtrip_exact(self):
         """export_state_dict -> convert_state_dict is the identity on a
