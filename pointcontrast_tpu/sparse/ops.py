@@ -431,6 +431,108 @@ def _conv_chunk_fused_bwd(rev, group, res, ct):
 _conv_chunk_fused.defvjp(_conv_chunk_fused_fwd, _conv_chunk_fused_bwd)
 
 
+# --------------------------------------------------------------------------
+# Fused chunked DOWN conv (stride-2: nbr [K, B, S_out] gathers from the finer
+# level's [S_in, C] sub-tables, no offset symmetry).  The scan form's
+# autodiff backward pays K scatter-adds per chunk AND stacks per-step scan
+# residuals ([K, B, S_in, Cout] — 134 MB per level-0 down conv at semseg
+# scale); this custom VJP is residual-lean (saves only the inputs):
+#   fwd: col = take(F_b, idx)[S_out, K*Cin]; out = col @ W.reshape(K*Cin, Co)
+#   bwd: dcol = ct @ [W_k^T]stacked;  dF = ONE scatter-add of the
+#        [S_out*K, Cin] rows at idx;  dW = re-take(col)^T @ ct
+# Missing children point at the fine pad row; its accumulated cotangent is
+# harmless because pad rows are re-masked by every consumer downstream and
+# the pad row's FEATURES are zero (dW sees zero contributions from it via
+# col, and dF at the pad row is discarded by the next op's mask).
+
+
+def _down_col(features_b, nbr, b, ga):
+    """col [S_out, G*Cin] for chunk b over offset group ga (s-major)."""
+    idx = jnp.transpose(nbr[np.asarray(ga, np.int32), b, :]).reshape(-1)
+    return jnp.take(features_b, idx, axis=0).reshape(
+        nbr.shape[2], len(ga) * features_b.shape[-1]
+    ), idx
+
+
+def _conv_chunk_down_fused_core(features, nbr, weights, group):
+    k, b_, s_out = nbr.shape
+    cin, cout = weights.shape[1], weights.shape[2]
+    f3 = _chunk_view(features, b_)
+    groups = _offset_groups(k, None, group)
+    f32 = jnp.float32
+    w_blocks = [
+        weights[np.asarray(ga, np.int32)].reshape(len(ga) * cin, cout)
+        for ga in groups
+    ]
+    outs = []
+    for b in range(b_):
+        acc = jnp.zeros((s_out, cout), f32)
+        for ga, w_g in zip(groups, w_blocks):
+            col, _ = _down_col(f3[b], nbr, b, ga)
+            acc = acc + jnp.dot(
+                col, w_g.astype(col.dtype), preferred_element_type=f32
+            )
+        outs.append(acc)
+    return jnp.stack(outs).reshape(b_ * s_out, cout).astype(features.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _conv_chunk_down_fused(features, nbr, weights, group):
+    return _conv_chunk_down_fused_core(features, nbr, weights, group)
+
+
+def _conv_chunk_down_fused_fwd(features, nbr, weights, group):
+    return (
+        _conv_chunk_down_fused_core(features, nbr, weights, group),
+        (features, nbr, weights),
+    )
+
+
+def _conv_chunk_down_fused_bwd(group, res, ct):
+    features, nbr, weights = res
+    k, b_, s_out = nbr.shape
+    cin, cout = weights.shape[1], weights.shape[2]
+    s_in = features.shape[0] // b_
+    f3 = _chunk_view(features, b_)
+    ct3 = ct.reshape(b_, s_out, cout)
+    groups = _offset_groups(k, None, group)
+    f32 = jnp.float32
+    wt_blocks = [
+        weights[np.asarray(ga, np.int32)]
+        .transpose(0, 2, 1)
+        .reshape(len(ga), cout, cin)
+        for ga in groups
+    ]
+    dfs = []
+    dw = jnp.zeros((k, cin, cout), f32)
+    for b in range(b_):
+        ctb = ct3[b]
+        df = jnp.zeros((s_in, cin), f32)
+        for ga, wt_g in zip(groups, wt_blocks):
+            g_n = len(ga)
+            col, idx = _down_col(f3[b], nbr, b, ga)
+            # dW over this group: col^T @ ct, reshaped to per-offset blocks
+            dw_g = jnp.dot(col.astype(f32).T, ctb.astype(f32),
+                           preferred_element_type=f32)
+            dw = dw.at[np.asarray(ga, np.int32)].add(
+                dw_g.reshape(g_n, cin, cout)
+            )
+            # dcol rows [S_out, G, Cin] -> ONE scatter-add at idx
+            dcol = jnp.einsum(
+                "sd,gdc->sgc", ctb.astype(f32), wt_g.astype(f32),
+                preferred_element_type=f32,
+            ).reshape(s_out * g_n, cin)
+            df = df.at[idx].add(dcol)
+        dfs.append(df)
+    df_all = jnp.stack(dfs).reshape(features.shape).astype(features.dtype)
+    return df_all, None, dw.astype(weights.dtype)
+
+
+_conv_chunk_down_fused.defvjp(
+    _conv_chunk_down_fused_fwd, _conv_chunk_down_fused_bwd
+)
+
+
 def sparse_conv(
     features: jnp.ndarray,  # [N_in, Cin], padded rows zero
     nbr: jnp.ndarray,  # [K, N_out] gather indices into N_in (pad row for missing)
@@ -469,7 +571,11 @@ def sparse_conv(
             else:
                 out = _conv_chunk_sym(features, nbr, weights, tuple(rev))
         else:
-            out = _conv_chunk_core(features, nbr, weights)
+            g = _fused_group()
+            if g:
+                out = _conv_chunk_down_fused(features, nbr, weights, g)
+            else:
+                out = _conv_chunk_core(features, nbr, weights)
         if bias is not None:
             out = out + bias
         if valid_out is not None:

@@ -92,6 +92,31 @@ class TestChunkedOps:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-4)
 
+    @pytest.mark.parametrize("group", [8, 5, 3])
+    def test_fused_down_conv_matches_scan(self, group):
+        """Fused down-conv custom VJP == scan-core autodiff (values+grads)."""
+        lv = self.pyr.levels[0]
+        down = jnp.asarray(np.asarray(lv.down_nbr))
+        w = jnp.asarray(self.rng.randn(8, 6, 5).astype(np.float32))
+
+        def loss_scan(f, w):
+            out = ops._conv_chunk_core(f, down, w)
+            return jnp.sum(out * out), out
+
+        def loss_fused(f, w):
+            out = ops._conv_chunk_down_fused(f, down, w, group)
+            return jnp.sum(out * out), out
+
+        (l_s, out_s), g_s = jax.value_and_grad(
+            loss_scan, argnums=(0, 1), has_aux=True)(self.feats, w)
+        (l_f, out_f), g_f = jax.value_and_grad(
+            loss_fused, argnums=(0, 1), has_aux=True)(self.feats, w)
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_s),
+                                   rtol=1e-5, atol=1e-5)
+        for a, b in zip(g_f, g_s):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
+
     def test_fused_env_selection(self, monkeypatch):
         """PC_TPU_CONV_FUSED_GROUP routes sparse_conv to the fused kernel."""
         lv = self.pyr.levels[0]
