@@ -47,7 +47,7 @@ class SparseConv(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, features, nbr, valid_out, rev=None):
+    def __call__(self, features, nbr, valid_out, rev=None, up=None):
         cin = features.shape[-1]
         w = self.param(
             "kernel", kernel_init, (self.kernel_volume, cin, self.out_channels)
@@ -67,7 +67,8 @@ class SparseConv(nn.Module):
         if isinstance(nbr, brick.BrickDownMap):
             return brick.brick_down_conv(f, nbr.place, w, bias=b,
                                          valid_out=valid_out)
-        return ops.sparse_conv(f, nbr, w, bias=b, valid_out=valid_out, rev=rev)
+        return ops.sparse_conv(f, nbr, w, bias=b, valid_out=valid_out,
+                               rev=rev, up=up)
 
 
 class SparseConvTranspose(nn.Module):

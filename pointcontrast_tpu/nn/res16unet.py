@@ -95,7 +95,8 @@ class Res16UNetBase(nn.Module):
         for s in range(4):
             out = SparseConv(
                 out.shape[-1], k_up, dtype=dtype, name=f"conv{s + 1}p{2**s}s2"
-            )(out, lv[s].down_nbr, lv[s + 1].valid)
+            )(out, lv[s].down_nbr, lv[s + 1].valid,
+              up=(lv[s].up_parent, lv[s].up_offset))
             out = relu(bn(f"bn{s + 1}")(out, lv[s + 1].valid, train))
             out = self._stage(
                 out, lv[s + 1], self.PLANES[s], self.LAYERS[s], train,

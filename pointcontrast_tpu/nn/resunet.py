@@ -87,7 +87,8 @@ class MinkUNetBase(nn.Module):
             out = SparseConv(
                 out.shape[-1], k_up, dtype=dtype,
                 name=f"conv{s + 2}p{2**s}s2",
-            )(out, lv[s].down_nbr, lv[s + 1].valid)
+            )(out, lv[s].down_nbr, lv[s + 1].valid,
+              up=(lv[s].up_parent, lv[s].up_offset))
             out = relu(bn(f"bn{s + 2}")(out, lv[s + 1].valid, train))
             out = self._stage(
                 out, lv[s + 1], self.PLANES[s + 1], self.LAYERS[s + 1],
@@ -222,7 +223,8 @@ class MinkUNetHyper(MinkUNetBase):
         for s in range(3):
             out = SparseConv(
                 out.shape[-1], k_up, dtype=dtype, name=f"conv{s + 2}p{2**s}s2"
-            )(out, lv[s].down_nbr, lv[s + 1].valid)
+            )(out, lv[s].down_nbr, lv[s + 1].valid,
+              up=(lv[s].up_parent, lv[s].up_offset))
             out = relu(bn(f"bn{s + 2}")(out, lv[s + 1].valid, train))
             out = self._stage(
                 out, lv[s + 1], self.PLANES[s + 1], self.LAYERS[s + 1],

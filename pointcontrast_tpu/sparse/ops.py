@@ -533,6 +533,73 @@ _conv_chunk_down_fused.defvjp(
 )
 
 
+# --------------------------------------------------------------------------
+# Fully scatter-free chunked k2s2 down conv.  For kernel-2 stride-2 maps the
+# child→(parent, offset) relation is FUNCTIONAL (each fine voxel appears in
+# exactly one (k, j) slot of the down map — topology.py:17-19), so the
+# backward collapses to a single term:
+#
+#     dF[i] = ct[up_parent[i]] @ W_{up_offset[i]}^T
+#
+# which is gatherable from the stacked per-offset table
+# [stack_k(ct @ W_k^T)] exactly like the fused transpose-conv FORWARD
+# (_conv_tr_chunk_core) — no scatter anywhere.  (k3s2 maps overlap, children
+# have multiple parents; those use _conv_chunk_down_fused's scatter form.)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _conv_chunk_down2(features, nbr, up_parent, up_offset, weights, group):
+    return _conv_chunk_down_fused_core(features, nbr, weights, group)
+
+
+def _conv_chunk_down2_fwd(features, nbr, up_parent, up_offset, weights,
+                          group):
+    return (
+        _conv_chunk_down_fused_core(features, nbr, weights, group),
+        (features, nbr, up_parent, up_offset, weights),
+    )
+
+
+def _conv_chunk_down2_bwd(group, res, ct):
+    features, nbr, up_parent, up_offset, weights = res
+    k, b_, s_out = nbr.shape
+    cin, cout = weights.shape[1], weights.shape[2]
+    f3 = _chunk_view(features, b_)
+    ct3 = ct.reshape(b_, s_out, cout)
+    groups = _offset_groups(k, None, group)
+    f32 = jnp.float32
+    # dF: one gather per chunk from the stacked [K*S_out, Cin] table.
+    # Coarse pad rows carry zero cotangent (mask_rows' adjoint), so the pad
+    # fine rows' (offset 0, pad parent) entry reads a zero row.  The fine
+    # PAD row's dF differs from the scan core's (which sums every
+    # missing-child slot into it) — both are garbage-by-design there: the
+    # upstream producer masks (bn) or has zero-gradient at the zero pad
+    # activation (relu), so pad cotangents die one op earlier either way.
+    tables = jnp.einsum(
+        "bsd,kdc->bksc", ct3, weights.transpose(0, 2, 1).astype(ct3.dtype),
+        preferred_element_type=f32,
+    ).reshape(b_, k * s_out, cin)
+    idx = up_offset.astype(jnp.int32) * s_out + up_parent.astype(jnp.int32)
+    df = jnp.stack(
+        [jnp.take(tables[b], idx[b], axis=0) for b in range(b_)]
+    ).reshape(features.shape).astype(features.dtype)
+    # dW: re-take the im2col block per group (residual-lean), col^T @ ct
+    dw = jnp.zeros((k, cin, cout), f32)
+    for b in range(b_):
+        ctb = ct3[b]
+        for ga in groups:
+            col, _ = _down_col(f3[b], nbr, b, ga)
+            dw_g = jnp.dot(col.astype(f32).T, ctb.astype(f32),
+                           preferred_element_type=f32)
+            dw = dw.at[np.asarray(ga, np.int32)].add(
+                dw_g.reshape(len(ga), cin, cout)
+            )
+    return df, None, None, None, dw.astype(weights.dtype)
+
+
+_conv_chunk_down2.defvjp(_conv_chunk_down2_fwd, _conv_chunk_down2_bwd)
+
+
 def sparse_conv(
     features: jnp.ndarray,  # [N_in, Cin], padded rows zero
     nbr: jnp.ndarray,  # [K, N_out] gather indices into N_in (pad row for missing)
@@ -540,6 +607,8 @@ def sparse_conv(
     bias: jnp.ndarray | None = None,  # [Cout]
     valid_out: jnp.ndarray | None = None,  # [N_out] float mask
     rev: tuple | None = None,  # offset-reversal perm (same-level maps only)
+    up: tuple | None = None,  # (up_parent, up_offset) for k2s2 down maps:
+    # enables the fully scatter-free fused backward (_conv_chunk_down2)
 ) -> jnp.ndarray:
     """Generalized sparse convolution as K accumulated matmul+gather steps.
 
@@ -572,7 +641,13 @@ def sparse_conv(
                 out = _conv_chunk_sym(features, nbr, weights, tuple(rev))
         else:
             g = _fused_group()
-            if g:
+            # up is only passed for k2s2 transitions (caller contract):
+            # the functional child->(parent, offset) identity needs it
+            if g and up is not None and getattr(up[0], "ndim", 0) == 2:
+                out = _conv_chunk_down2(
+                    features, nbr, up[0], up[1], weights, g
+                )
+            elif g:
                 out = _conv_chunk_down_fused(features, nbr, weights, g)
             else:
                 out = _conv_chunk_core(features, nbr, weights)

@@ -117,6 +117,45 @@ class TestChunkedOps:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-4)
 
+    @pytest.mark.parametrize("group", [8, 3])
+    def test_scatter_free_down2_matches_scan(self, group):
+        """k2s2 fused down conv with the transpose-trick backward (dF
+        gathered via the functional child->(parent, offset) identity) ==
+        scan-core autodiff, values and grads.  The coarse cotangent is
+        masked first, as in the real network (pad rows carry zero ct)."""
+        lv = self.pyr.levels[0]
+        lv1 = self.pyr.levels[1]
+        down = jnp.asarray(np.asarray(lv.down_nbr))
+        upp = jnp.asarray(np.asarray(lv.up_parent))
+        upo = jnp.asarray(np.asarray(lv.up_offset))
+        v1 = jnp.asarray(lv1.valid)
+        w = jnp.asarray(self.rng.randn(8, 6, 5).astype(np.float32))
+
+        def loss_scan(f, w):
+            out = ops.mask_rows(ops._conv_chunk_core(f, down, w), v1)
+            return jnp.sum(out * out), out
+
+        def loss_fused(f, w):
+            out = ops.mask_rows(
+                ops._conv_chunk_down2(f, down, upp, upo, w, group), v1)
+            return jnp.sum(out * out), out
+
+        (l_s, out_s), g_s = jax.value_and_grad(
+            loss_scan, argnums=(0, 1), has_aux=True)(self.feats, w)
+        (l_f, out_f), g_f = jax.value_and_grad(
+            loss_fused, argnums=(0, 1), has_aux=True)(self.feats, w)
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_s),
+                                   rtol=1e-5, atol=1e-5)
+        # dF only at VALID input rows: pad-row dF is garbage-by-design in
+        # BOTH forms (the scan core sums every missing-child slot into the
+        # pad row; the real network's mask adjoint zeroes it before use)
+        v0 = np.asarray(self.pyr.levels[0].valid)[:, None]
+        np.testing.assert_allclose(np.asarray(g_f[0]) * v0,
+                                   np.asarray(g_s[0]) * v0,
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(g_f[1]), np.asarray(g_s[1]),
+                                   rtol=1e-4, atol=1e-4)
+
     def test_fused_env_selection(self, monkeypatch):
         """PC_TPU_CONV_FUSED_GROUP routes sparse_conv to the fused kernel."""
         lv = self.pyr.levels[0]
