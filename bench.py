@@ -12,6 +12,13 @@ depth-frame unprojections (see PERF.md "Workload realism").
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Env knobs:
+  PC_TPU_BENCH_APP=pretrain|semseg|votenet   which trainer to bench
+      (default pretrain — the headline).  semseg: Res16UNet34C 20-class
+      finetune step, batch 6 x ~42.6k voxels at 2 cm (npad0 262144);
+      votenet: sparseconv-backbone detection step, batch 4 x 40k points at
+      2.5 cm (npad0 196608).  Per-GPU baselines: PERF.md "Baseline
+      comparison" (semseg ~4.4 scenes/s/GPU scaled from the pretrain
+      estimate; votenet the same row-count scaling, ~5.2).
   PC_TPU_BENCH_MODE=nce|hardest|both   loss mode(s) to measure ("both"
       prints the headline NCE line first, then a hardest line)
   PC_TPU_BENCH_BATCH=N                 pairs per step (npad0 scales with it)
@@ -42,6 +49,14 @@ ROOM_SIZE = 1.75  # ~15.5k voxels/frame, the reference's assumed frame size
 NPAD0 = BATCH_PAIRS * 32768  # both frames fused into one sparse batch
 LAYOUT = os.environ.get("PC_TPU_BENCH_LAYOUT", "chunked")
 MODE = os.environ.get("PC_TPU_BENCH_MODE", "nce")
+APP = os.environ.get("PC_TPU_BENCH_APP", "pretrain")
+# per-GPU reference estimates for the downstream apps (PERF.md "Baseline
+# comparison": the 1.5 it/s/GPU pretrain estimate scaled by relative row
+# count only — conservative, since it prices the reference's detection head
+# at zero — semseg 2 cm runs 2.04x the pretrain rows -> 4.4 scenes/s/GPU;
+# votenet's 2.5 cm backbone ~1.15x -> ~5.2 scenes/s/GPU)
+REFERENCE_SEMSEG_SCENES_PER_SEC_PER_GPU_EST = 4.4
+REFERENCE_VOTENET_SCENES_PER_SEC_PER_GPU_EST = 5.2
 DTYPE = os.environ.get("PC_TPU_BENCH_DTYPE", "float32")  # activations dtype
 # (params and norm statistics stay f32 either way; bf16 keeps the level-0
 # gather table inside the ~8-16 MB fast-gather footprint, see PERF.md)
@@ -108,10 +123,125 @@ def measure(mode: str) -> float:
     return BATCH_PAIRS * ITERS / dt
 
 
+def measure_semseg() -> float:
+    """scenes/sec of the 2 cm semseg finetune step (chunked layout)."""
+    import time
+
+    import jax
+
+    from pointcontrast_tpu.data.collate import PadScheme
+    from pointcontrast_tpu.data.pair_dataset import SyntheticPairDataset
+    from pointcontrast_tpu.nn.registry import load_model
+    from pointcontrast_tpu.semseg.dataset import collate_semseg
+    from pointcontrast_tpu.semseg.train import SemsegConfig, make_semseg_train_step
+    from pointcontrast_tpu.train import optim
+    from pointcontrast_tpu.train.state import create_train_state
+
+    batch_scenes, npad0 = 6, 262144
+    rng = np.random.RandomState(0)
+    ds = SyntheticPairDataset(
+        num_pairs=batch_scenes, points_per_frame=90000, room_size=2.4,
+        voxel_size=0.02, seed=0,
+    )
+    samples = []
+    for i in range(batch_scenes):
+        c = np.asarray(ds[i][0], np.int32)
+        samples.append((
+            c,
+            rng.randint(0, 255, (len(c), 3)).astype(np.float32),
+            rng.randint(0, 20, len(c)).astype(np.int32),
+        ))
+    batch = collate_semseg(
+        samples, PadScheme.scannet(npad0=npad0), ignore_label=255,
+        shift_coords=False, rng=np.random.RandomState(1), layout=LAYOUT,
+        num_chunks=batch_scenes if LAYOUT == "chunked" else None,
+    )
+    config = SemsegConfig(lr=0.1, max_iter=1000)
+    model = load_model("Res16UNet34C")(in_channels=3, out_channels=20)
+    tx = optim.make_optimizer(
+        config.optimizer, config.lr,
+        optim.make_scheduler(config.scheduler, config), config,
+    )
+    state = create_train_state(
+        jax.random.PRNGKey(0), model, tx, (batch.feats, batch.pyramid)
+    )
+    step = jax.jit(make_semseg_train_step(config))
+    batch = jax.device_put(batch)
+    for _ in range(WARMUP):
+        state, m = step(state, batch)
+    float(jax.device_get(m["loss"]))
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        state, m = step(state, batch)
+    float(jax.device_get(m["loss"]))
+    return batch_scenes * ITERS / (time.perf_counter() - t0)
+
+
+def measure_votenet() -> float:
+    """scenes/sec of the sparseconv-backbone VoteNet train step."""
+    import time
+
+    import jax
+
+    from pointcontrast_tpu.data.collate import PadScheme
+    from pointcontrast_tpu.detect.datasets import (
+        SyntheticDetectionDataset,
+        collate_detection,
+    )
+    from pointcontrast_tpu.detect.train import DetectConfig, DetectTrainer
+    from pointcontrast_tpu.detect.votenet import VoteNet
+
+    batch_scenes, npad0 = 4, 196608
+    ds = SyntheticDetectionDataset(
+        num_scenes=batch_scenes, num_objects=6, num_points=40000, seed=0
+    )
+    dc = ds.dc
+    model = VoteNet(
+        num_class=dc.num_class, num_heading_bin=dc.num_heading_bin,
+        num_size_cluster=dc.num_size_cluster, mean_size_arr=dc.mean_size_arr,
+        backbone="sparseconv",
+    )
+    batch = collate_detection(
+        [ds[i] for i in range(batch_scenes)], voxel_size=0.025,
+        scheme=PadScheme.scannet(npad0=npad0),
+        layout=LAYOUT if LAYOUT != "brick" else "voxel",
+    )
+    trainer = DetectTrainer(
+        model, dc, DetectConfig(checkpoint_dir="/tmp/votenet_bench"), batch
+    )
+    for _ in range(WARMUP):
+        trainer.state, m = trainer._step(trainer.state, batch)
+    float(jax.device_get(m["loss"]))
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        trainer.state, m = trainer._step(trainer.state, batch)
+    float(jax.device_get(m["loss"]))
+    return batch_scenes * ITERS / (time.perf_counter() - t0)
+
+
 def main():
     from pointcontrast_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+
+    if APP == "semseg":
+        v = measure_semseg()
+        print(json.dumps({
+            "metric": "semseg_scenes_per_sec_per_chip",
+            "value": round(v, 3), "unit": "scenes/s",
+            "vs_baseline": round(
+                v / REFERENCE_SEMSEG_SCENES_PER_SEC_PER_GPU_EST, 3),
+        }))
+        return
+    if APP == "votenet":
+        v = measure_votenet()
+        print(json.dumps({
+            "metric": "votenet_scenes_per_sec_per_chip",
+            "value": round(v, 3), "unit": "scenes/s",
+            "vs_baseline": round(
+                v / REFERENCE_VOTENET_SCENES_PER_SEC_PER_GPU_EST, 3),
+        }))
+        return
 
     modes = ["nce", "hardest"] if MODE == "both" else [MODE]
     for mode in modes:
