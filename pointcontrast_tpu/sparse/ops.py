@@ -305,15 +305,19 @@ _conv_chunk_sym.defvjp(_conv_chunk_sym_fwd, _conv_chunk_sym_bwd)
 # offset-reversal gather identity as _conv_sym_bwd, also in fused form:
 # one gather of ct rows per chunk + two matmuls.
 #
-# Gated by PC_TPU_CONV_FUSED_GROUP (offsets per fused gather; 0 = use the
-# scan form) until measured; see experiments/fused_conv_probe.py.
+# PC_TPU_CONV_FUSED_GROUP sets the offsets-per-fused-gather (0 = scan
+# form).  Default 13: measured on-chip (round 4, experiments/
+# fused_conv_probe.py + fused_conv_semseg_probe.py) — pretrain 16.57 vs
+# 14.42 pairs/s scan (+15%, plateau over groups 9-13), semseg 11.35 vs
+# 9.11 scenes/s (+25%); group also caps the per-chunk col temp
+# [S, G*Cin].
 
 
 def _fused_group() -> int:
     try:
-        return int(os.environ.get("PC_TPU_CONV_FUSED_GROUP", "0"))
+        return int(os.environ.get("PC_TPU_CONV_FUSED_GROUP", "13"))
     except ValueError:
-        return 0
+        return 13
 
 
 def _offset_groups(k: int, center: int | None, group: int):
