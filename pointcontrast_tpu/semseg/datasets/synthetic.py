@@ -24,13 +24,20 @@ class SyntheticSemsegDataset(VoxelizationDataset):
 
     def __init__(self, path: str | None = None, phase: str = "train",
                  num_scenes: int = 8, points: int = 4000,
-                 room: float = 3.0, scene_seed: int | None = None, **kwargs):
+                 room: float = 3.0, scene_seed: int | None = None,
+                 label_colors: bool = True, **kwargs):
         """(path, phase) mirror the registry datasets' signature so the
         semseg app can drive this one from config (path is ignored; phase
-        selects a disjoint scene pool)."""
+        selects a disjoint scene pool).
+
+        label_colors=False gives every point a label-INDEPENDENT random
+        texture, so the task is solvable only from geometry — the regime
+        where geometric pretraining can show a transfer gap
+        (experiments/transfer_proof.py)."""
         self.num_scenes = num_scenes
         self.points = points
         self.room = room
+        self.label_colors = label_colors
         if scene_seed is None:
             scene_seed = {"train": 77, "val": 7700, "test": 770000}.get(phase, 77)
         self.scene_seed = scene_seed
@@ -61,8 +68,11 @@ class SyntheticSemsegDataset(VoxelizationDataset):
         # a small ignored region
         strip = coords[:, 0] > r * 0.95
         labels[strip] = 4
-        colors = np.stack([
-            50 + 40 * labels, 200 - 30 * labels, 100 + 20 * labels
-        ], 1).astype(np.float32)
-        colors += rng.randn(*colors.shape) * 5
+        if self.label_colors:
+            colors = np.stack([
+                50 + 40 * labels, 200 - 30 * labels, 100 + 20 * labels
+            ], 1).astype(np.float32)
+            colors += rng.randn(*colors.shape) * 5
+        else:
+            colors = rng.rand(len(labels), 3).astype(np.float32) * 255
         return coords, np.clip(colors, 0, 255), labels, None
