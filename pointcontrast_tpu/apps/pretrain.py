@@ -149,6 +149,11 @@ def main(argv: list[str] | None = None):
         sys.exit(preemption.REQUEUE_EXIT_CODE)
     finally:
         loader.close()
+        # restore the previous handlers: a finished run must not keep
+        # swallowing SIGTERM/SIGUSR1 in a long-lived host process (pytest,
+        # notebooks) — a later signal would silently flip an unrelated
+        # trainer into the requeue path
+        guard.uninstall()
     preemption.clear_requeue_marker(cfg.misc.out_dir)
     return history
 

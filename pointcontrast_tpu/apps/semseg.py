@@ -190,6 +190,7 @@ def main(argv: list[str] | None = None):
         sys.exit(preemption.REQUEUE_EXIT_CODE)
     finally:
         train_loader.close()
+        guard.uninstall()  # see apps/pretrain.py: no stale handlers
     preemption.clear_requeue_marker(cfg.train.out_dir)
     return history
 

@@ -253,6 +253,8 @@ def main(argv: list[str] | None = None):
         preemption.write_requeue_marker(cfg.misc.out_dir, p.step)
         log.warning("exiting requeueable (epoch %d); restart resumes", p.step)
         sys.exit(preemption.REQUEUE_EXIT_CODE)
+    finally:
+        guard.uninstall()  # see apps/pretrain.py: no stale handlers
     preemption.clear_requeue_marker(cfg.misc.out_dir)
     return trainer
 

@@ -64,6 +64,29 @@ class TestPretrainApp:
         ])
         assert history2 == []
 
+    def test_signal_handlers_restored_after_main(self, tmp_path):
+        """A finished run must not leave its preemption handlers installed:
+        a later SIGTERM in the same host process (pytest, notebooks) would be
+        silently swallowed and flip an unrelated trainer into the requeue
+        path (observed once under an external SIGTERM mid-suite)."""
+        import signal
+
+        from pointcontrast_tpu.apps.pretrain import main
+
+        before = (signal.getsignal(signal.SIGTERM),
+                  signal.getsignal(signal.SIGUSR1))
+        main([
+            "data.dataset=SyntheticPairDataset", "data.num_pairs=2",
+            "data.points_per_frame=400", "data.npad0=2048",
+            "trainer.batch_size=1", "trainer.trainer=PointNCELossTrainer",
+            "net.model=Res16UNet14A", "misc.npos=64", "opt.max_iter=1",
+            "trainer.stat_freq=1", f"misc.out_dir={tmp_path / 'run'}",
+            "distributed.num_devices=1", "misc.num_workers=1",
+        ])
+        after = (signal.getsignal(signal.SIGTERM),
+                 signal.getsignal(signal.SIGUSR1))
+        assert after == before
+
 
 class TestVotenetApp:
     def test_cli_end_to_end_synthetic_sparseconv(self, tmp_path):
