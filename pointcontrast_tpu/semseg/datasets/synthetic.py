@@ -74,5 +74,13 @@ class SyntheticSemsegDataset(VoxelizationDataset):
             ], 1).astype(np.float32)
             colors += rng.randn(*colors.shape) * 5
         else:
-            colors = rng.rand(len(labels), 3).astype(np.float32) * 255
+            # near-constant bright color: carries no label signal (the task
+            # becomes geometry-only) while keeping the normalized input a
+            # NONZERO constant (~0.45) — a pure scale the first BatchNorm
+            # absorbs, preserving a pretrained conv0's occupancy encoding
+            # (constant-features pretraining encodes each voxel's neighbor
+            # pattern as sums of per-offset kernel vectors; zero or noisy
+            # inputs would erase it)
+            colors = np.full((len(labels), 3), 242.0, np.float32)
+            colors += rng.randn(len(labels), 3).astype(np.float32) * 5
         return coords, np.clip(colors, 0, 255), labels, None
