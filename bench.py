@@ -156,8 +156,12 @@ def measure_semseg() -> float:
         shift_coords=False, rng=np.random.RandomState(1), layout=LAYOUT,
         num_chunks=batch_scenes if LAYOUT == "chunked" else None,
     )
+    import jax.numpy as jnp
+
     config = SemsegConfig(lr=0.1, max_iter=1000)
-    model = load_model("Res16UNet34C")(in_channels=3, out_channels=20)
+    model = load_model("Res16UNet34C")(
+        in_channels=3, out_channels=20, dtype=jnp.dtype(DTYPE)
+    )
     tx = optim.make_optimizer(
         config.optimizer, config.lr,
         optim.make_scheduler(config.scheduler, config), config,
