@@ -200,10 +200,12 @@ def measure_votenet() -> float:
         num_scenes=batch_scenes, num_objects=6, num_points=40000, seed=0
     )
     dc = ds.dc
+    import jax.numpy as jnp
+
     model = VoteNet(
         num_class=dc.num_class, num_heading_bin=dc.num_heading_bin,
         num_size_cluster=dc.num_size_cluster, mean_size_arr=dc.mean_size_arr,
-        backbone="sparseconv",
+        backbone="sparseconv", dtype=jnp.dtype(DTYPE),
     )
     batch = collate_detection(
         [ds[i] for i in range(batch_scenes)], voxel_size=0.025,

@@ -188,7 +188,8 @@ def heldout_nce(params_by_arm):
     return out
 
 
-def finetune_and_eval(pretrained_params, seed: int, probe: bool = False):
+def finetune_and_eval(pretrained_params, seed: int, probe: bool = False,
+                      num_scenes: int = 2):
     import jax
     import numpy as np
 
@@ -206,7 +207,7 @@ def finetune_and_eval(pretrained_params, seed: int, probe: bool = False):
     from pointcontrast_tpu.train.state import create_train_state
 
     train_ds = SyntheticSemsegDataset(
-        phase="train", num_scenes=2, points=4000, label_colors=False,
+        phase="train", num_scenes=num_scenes, points=4000, label_colors=False,
     )
     val_ds = SyntheticSemsegDataset(
         phase="val", num_scenes=4, points=4000, label_colors=False,
@@ -222,7 +223,8 @@ def finetune_and_eval(pretrained_params, seed: int, probe: bool = False):
     rng = np.random.RandomState(seed)
     batches = [
         collate_semseg(
-            [train_ds.__getitem__(i % 2, rng=rng) for i in range(2 * b, 2 * b + 2)],
+            [train_ds.__getitem__(i % num_scenes, rng=rng)
+             for i in range(2 * b, 2 * b + 2)],
             scheme, ignore_label=255, shift_coords=True, rng=rng,
             layout="chunked", num_chunks=2,
         )

@@ -160,6 +160,7 @@ def main(argv: list[str] | None = None):
         if use_voxels else None
     )
     import jax
+    import jax.numpy as jnp
 
     from pointcontrast_tpu.parallel import make_mesh
 
@@ -187,6 +188,9 @@ def main(argv: list[str] | None = None):
         input_feature_dim=int(cfg.data.use_color) * 3 + int(cfg.data.use_height),
         num_proposal=cfg.net.num_proposal, vote_factor=cfg.net.vote_factor,
         sampling=cfg.net.cluster_sampling, backbone=cfg.net.backbone,
+        # sparseconv-backbone activations dtype (heads/losses stay f32, as do
+        # params and norm stats); bfloat16 measured +3.0% within-run (PERF.md)
+        dtype=jnp.dtype(cfg.net.get("dtype", "float32")),
     )
     tcfg = DetectConfig(
         learning_rate=cfg.optimizer.learning_rate,

@@ -86,6 +86,7 @@ class SparseConvBackbone(nn.Module):
     num_seed: int = 1024
     model_name: str = "Res16UNet34C"
     bn_momentum: float = 0.1
+    dtype: Any = None  # backbone activation dtype (heads stay f32)
 
     @nn.compact
     def __call__(self, pointcloud, voxel_feats, pyramid, point_voxel_idx,
@@ -98,9 +99,11 @@ class SparseConvBackbone(nn.Module):
             in_channels=voxel_feats.shape[-1],
             out_channels=self.output_feature_dim,
             bn_momentum=self.bn_momentum,
+            dtype=self.dtype,
             name="net",
         )
-        vout = net(voxel_feats, pyramid, train=train)  # [npad0, C]
+        # [npad0, C]; voting/proposal heads always run f32
+        vout = net(voxel_feats, pyramid, train=train).astype(jnp.float32)
         b, n = point_voxel_idx.shape
         point_feats = jnp.take(vout, point_voxel_idx.reshape(-1), axis=0)
         point_feats = point_feats.reshape(b, n, -1)
@@ -133,6 +136,7 @@ class VoteNet(nn.Module):
     use_voting: bool = True
     bn_momentum: float = 0.1  # decayed per epoch by DetectTrainer (reference
     # pytorch_utils.BNMomentumScheduler, 0.5 halved every 20 epochs)
+    dtype: Any = None  # sparseconv-backbone activation dtype (heads f32)
 
     @nn.compact
     def __call__(self, inputs: dict, train: bool = True):
@@ -148,6 +152,7 @@ class VoteNet(nn.Module):
                 output_feature_dim=256,
                 num_seed=1024,
                 bn_momentum=self.bn_momentum,
+                dtype=self.dtype,
                 name="backbone_net",
             )(
                 inputs["point_clouds"], inputs["voxel_feats"],
