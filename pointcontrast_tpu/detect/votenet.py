@@ -133,6 +133,9 @@ class VoteNet(nn.Module):
     vote_factor: int = 1
     sampling: str = "vote_fps"
     backbone: str = "pointnet2"
+    # sparseconv backbone net (reference selects it via the sparseconv
+    # sub-package config, models/backbone/sparseconv/config.py)
+    backbone_model: str = "Res16UNet34C"
     use_voting: bool = True
     bn_momentum: float = 0.1  # decayed per epoch by DetectTrainer (reference
     # pytorch_utils.BNMomentumScheduler, 0.5 halved every 20 epochs)
@@ -151,6 +154,7 @@ class VoteNet(nn.Module):
                 input_feature_dim=self.input_feature_dim + 3,
                 output_feature_dim=256,
                 num_seed=1024,
+                model_name=self.backbone_model,
                 bn_momentum=self.bn_momentum,
                 dtype=self.dtype,
                 name="backbone_net",

@@ -184,3 +184,64 @@ class TestVoteNetEndToEnd:
         assert 0.25 in metrics and 0.5 in metrics
         assert "mAP" in metrics[0.25]
         assert 0.0 <= metrics[0.25]["mAP"] <= 1.0
+
+
+class TestBackboneTransferLoad:
+    def test_pretrain_params_load_into_sparseconv_backbone(self):
+        """The reference finetunes VoteNet from the pretrain checkpoint by
+        remapping the .pth keys onto the sparseconv backbone
+        (downstream/votenet_det_new sparseconv backbone config).  Pin the
+        equivalent path here: a bare pretrain Res16UNet tree nested under
+        backbone_net/net lenient-loads into VoteNet(backbone='sparseconv',
+        backbone_model=...), covering every backbone leaf except the final
+        classifier, and the loaded leaves are the pretrain values."""
+        import jax.numpy as jnp
+
+        from pointcontrast_tpu.data.collate import PadScheme
+        from pointcontrast_tpu.detect.votenet import VoteNet
+        from pointcontrast_tpu.nn.registry import load_model
+        from pointcontrast_tpu.train.checkpoint import lenient_filter
+
+        ds = SyntheticDetectionDataset(num_scenes=1, num_objects=3,
+                                       num_points=1500, seed=0)
+        scheme = PadScheme(npad0=4096,
+                           level_ratios=(1.0, 1.0, 0.5, 0.25, 0.12))
+        batch = collate_detection([ds[0]], voxel_size=0.05, scheme=scheme)
+        pre_model = load_model("Res16UNet14")(in_channels=3, out_channels=32)
+        pre_params = jax.jit(
+            lambda r, f, p: pre_model.init(r, f, p, train=False)
+        )(jax.random.PRNGKey(7), jnp.asarray(batch.voxel_feats),
+          batch.voxel_pyramid)["params"]
+
+        dc = ds.dc
+        model = VoteNet(
+            num_class=dc.num_class, num_heading_bin=dc.num_heading_bin,
+            num_size_cluster=dc.num_size_cluster,
+            mean_size_arr=dc.mean_size_arr, num_proposal=16,
+            backbone="sparseconv", backbone_model="Res16UNet14",
+        )
+        inputs = {
+            "point_clouds": jnp.asarray(batch.point_clouds),
+            "voxel_feats": jnp.asarray(batch.voxel_feats),
+            "voxel_pyramid": batch.voxel_pyramid,
+            "point_voxel_idx": jnp.asarray(batch.point_voxel_idx),
+        }
+        vn_params = jax.jit(
+            lambda r: model.init(r, inputs, train=False)
+        )(jax.random.PRNGKey(0))["params"]
+
+        merged, loaded, skipped = lenient_filter(
+            vn_params, {"backbone_net": {"net": pre_params}}
+        )
+        # every pretrain leaf except the final classifier head transfers
+        n_pre = len(jax.tree_util.tree_leaves(pre_params))
+        n_final = len(jax.tree_util.tree_leaves(pre_params["final"]))
+        assert len(loaded) == n_pre - n_final
+        assert all("backbone_net" in k for k in loaded)
+        # heads (voting/proposal) and the backbone final conv stay untouched
+        assert any("vgen" in k for k in skipped)
+        assert any("pnet" in k for k in skipped)
+        np.testing.assert_array_equal(
+            np.asarray(merged["backbone_net"]["net"]["conv0p1s1"]["kernel"]),
+            np.asarray(pre_params["conv0p1s1"]["kernel"]),
+        )
