@@ -188,6 +188,7 @@ def main(argv: list[str] | None = None):
         input_feature_dim=int(cfg.data.use_color) * 3 + int(cfg.data.use_height),
         num_proposal=cfg.net.num_proposal, vote_factor=cfg.net.vote_factor,
         sampling=cfg.net.cluster_sampling, backbone=cfg.net.backbone,
+        backbone_model=cfg.net.get("backbone_model", "Res16UNet34C"),
         # sparseconv-backbone activations dtype (heads/losses stay f32, as do
         # params and norm stats); bfloat16 measured +3.0% within-run (PERF.md)
         dtype=jnp.dtype(cfg.net.get("dtype", "float32")),
