@@ -12,7 +12,7 @@ depth-frame unprojections (see PERF.md "Workload realism").
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Env knobs:
-  PC_TPU_BENCH_APP=pretrain|semseg|votenet   which trainer to bench
+  PC_TPU_BENCH_APP=pretrain|semseg|votenet|semseg_eval   what to bench
       (default pretrain — the headline).  semseg: Res16UNet34C 20-class
       finetune step, batch 6 x ~42.6k voxels at 2 cm (npad0 262144);
       votenet: sparseconv-backbone detection step, batch 4 x 40k points at
@@ -123,10 +123,9 @@ def measure(mode: str) -> float:
     return BATCH_PAIRS * ITERS / dt
 
 
-def measure_semseg() -> float:
-    """scenes/sec of the 2 cm semseg finetune step (chunked layout)."""
-    import time
-
+def _semseg_state_and_batch():
+    """Shared 2 cm semseg workload: Res16UNet34C train state + one batch of
+    6 saturated-surface scenes (~257k voxels), chunked layout."""
     import jax
 
     from pointcontrast_tpu.data.collate import PadScheme
@@ -169,8 +168,20 @@ def measure_semseg() -> float:
     state = create_train_state(
         jax.random.PRNGKey(0), model, tx, (batch.feats, batch.pyramid)
     )
+    return state, jax.device_put(batch), batch_scenes
+
+
+def measure_semseg() -> float:
+    """scenes/sec of the 2 cm semseg finetune step (chunked layout)."""
+    import time
+
+    import jax
+
+    from pointcontrast_tpu.semseg.train import SemsegConfig, make_semseg_train_step
+
+    state, batch, batch_scenes = _semseg_state_and_batch()
+    config = SemsegConfig(lr=0.1, max_iter=1000)
     step = jax.jit(make_semseg_train_step(config))
-    batch = jax.device_put(batch)
     for _ in range(WARMUP):
         state, m = step(state, batch)
     float(jax.device_get(m["loss"]))
@@ -178,6 +189,31 @@ def measure_semseg() -> float:
     for _ in range(ITERS):
         state, m = step(state, batch)
     float(jax.device_get(m["loss"]))
+    return batch_scenes * ITERS / (time.perf_counter() - t0)
+
+
+def measure_semseg_eval() -> float:
+    """scenes/sec of semseg INFERENCE (the serving path): eval-mode forward
+    + on-device argmax/probs, the exact program ``evaluate_dataset`` jits
+    (semseg/train.py::make_eval_step), on the same 2 cm batch the train
+    bench uses.  Baseline: the reference's eval iteration is the train step
+    minus backward+optimizer (~1/3 of the step at the usual fwd:bwd ratio),
+    i.e. ~3x its train rate => 3 x 4.4 = 13.2 scenes/s/GPU estimate."""
+    import time
+
+    import jax
+
+    from pointcontrast_tpu.semseg.train import make_eval_step
+
+    state, batch, batch_scenes = _semseg_state_and_batch()
+    eval_step = jax.jit(make_eval_step())
+    for _ in range(WARMUP):
+        pred, _prob = eval_step(state, batch)
+    float(jax.device_get(pred[0]))
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        pred, _prob = eval_step(state, batch)
+    float(jax.device_get(pred[0]))
     return batch_scenes * ITERS / (time.perf_counter() - t0)
 
 
@@ -237,6 +273,15 @@ def main():
             "value": round(v, 3), "unit": "scenes/s",
             "vs_baseline": round(
                 v / REFERENCE_SEMSEG_SCENES_PER_SEC_PER_GPU_EST, 3),
+        }))
+        return
+    if APP == "semseg_eval":
+        v = measure_semseg_eval()
+        print(json.dumps({
+            "metric": "semseg_eval_scenes_per_sec_per_chip",
+            "value": round(v, 3), "unit": "scenes/s",
+            "vs_baseline": round(
+                v / (3.0 * REFERENCE_SEMSEG_SCENES_PER_SEC_PER_GPU_EST), 3),
         }))
         return
     if APP == "votenet":
