@@ -314,10 +314,16 @@ _conv_chunk_sym.defvjp(_conv_chunk_sym_fwd, _conv_chunk_sym_bwd)
 
 
 def _fused_group() -> int:
-    try:
-        return int(os.environ.get("PC_TPU_CONV_FUSED_GROUP", "13"))
-    except ValueError:
+    raw = os.environ.get("PC_TPU_CONV_FUSED_GROUP")
+    if not raw:
         return 13
+    try:
+        return int(raw)
+    except ValueError:
+        raise ValueError(
+            f"PC_TPU_CONV_FUSED_GROUP={raw!r} is not an integer "
+            f"(offsets per fused gather; 0 selects the scan form)"
+        ) from None
 
 
 def _offset_groups(k: int, center: int | None, group: int):
@@ -344,7 +350,12 @@ def _conv_chunk_fused_core(features, nbr, weights, rev, group):
     for b in range(b_):
         fb = f3[b]
         if center is not None:
-            acc = jnp.dot(fb, weights[center], preferred_element_type=f32)
+            # cast like the grouped blocks (w_g.astype below) so the center
+            # tap runs at the same effective precision under bf16
+            acc = jnp.dot(
+                fb, weights[center].astype(fb.dtype),
+                preferred_element_type=f32,
+            )
         else:
             acc = jnp.zeros((s_, cout), f32)
         for ga, w_g in zip(groups, w_blocks):
