@@ -57,9 +57,12 @@ APP = os.environ.get("PC_TPU_BENCH_APP", "pretrain")
 # votenet's 2.5 cm backbone ~1.15x -> ~5.2 scenes/s/GPU)
 REFERENCE_SEMSEG_SCENES_PER_SEC_PER_GPU_EST = 4.4
 REFERENCE_VOTENET_SCENES_PER_SEC_PER_GPU_EST = 5.2
-DTYPE = os.environ.get("PC_TPU_BENCH_DTYPE", "float32")  # activations dtype
-# (params and norm statistics stay f32 either way; bf16 keeps the level-0
-# gather table inside the ~8-16 MB fast-gather footprint, see PERF.md)
+DTYPE = os.environ.get("PC_TPU_BENCH_DTYPE", "bfloat16")  # activations dtype
+# Default bfloat16 since round 5 (mixed precision: params and norm
+# statistics stay f32 either way) — measured +3.6% pretrain / +4.1% semseg /
+# +3.0% votenet on the fused conv (PERF.md round 4), contract pinned by
+# tests/test_mixed_precision.py.  PC_TPU_BENCH_DTYPE=float32 is the
+# reference-exact parity mode.
 WARMUP = 3
 ITERS = 20
 
@@ -218,7 +221,13 @@ def measure_semseg_eval() -> float:
 
 
 def measure_votenet() -> float:
-    """scenes/sec of the sparseconv-backbone VoteNet train step."""
+    """scenes/sec of the sparseconv-backbone VoteNet train step.
+
+    VoteNet is the noisiest app cross-session (PERF.md round 4: 7.3-8.1
+    scenes/s across sessions), so this reports the MEDIAN of ≥3 within-run
+    reps and prints the per-rep rates to stderr so the spread is on record
+    (VERDICT r4 item 4)."""
+    import sys
     import time
 
     import jax
@@ -243,10 +252,15 @@ def measure_votenet() -> float:
         num_size_cluster=dc.num_size_cluster, mean_size_arr=dc.mean_size_arr,
         backbone="sparseconv", dtype=jnp.dtype(DTYPE),
     )
+    layout = LAYOUT
+    if layout == "brick":
+        layout = "voxel"
+        print("bench: votenet has no brick collation — benching the voxel "
+              "layout instead of the requested brick", file=sys.stderr)
     batch = collate_detection(
         [ds[i] for i in range(batch_scenes)], voxel_size=0.025,
         scheme=PadScheme.scannet(npad0=npad0),
-        layout=LAYOUT if LAYOUT != "brick" else "voxel",
+        layout=layout,
     )
     trainer = DetectTrainer(
         model, dc, DetectConfig(checkpoint_dir="/tmp/votenet_bench"), batch
@@ -254,11 +268,16 @@ def measure_votenet() -> float:
     for _ in range(WARMUP):
         trainer.state, m = trainer._step(trainer.state, batch)
     float(jax.device_get(m["loss"]))
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        trainer.state, m = trainer._step(trainer.state, batch)
-    float(jax.device_get(m["loss"]))
-    return batch_scenes * ITERS / (time.perf_counter() - t0)
+    rates = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            trainer.state, m = trainer._step(trainer.state, batch)
+        float(jax.device_get(m["loss"]))
+        rates.append(batch_scenes * ITERS / (time.perf_counter() - t0))
+    print(f"bench: votenet reps {[round(r, 2) for r in rates]} scenes/s "
+          f"(median reported)", file=sys.stderr)
+    return sorted(rates)[1]
 
 
 def main():

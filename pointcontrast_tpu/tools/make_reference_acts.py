@@ -54,6 +54,63 @@ def align_to_inputs(in_coords: np.ndarray, out_coords: np.ndarray,
     return out_feats[idx]
 
 
+def normalize_batch_column(out_c: np.ndarray, in_coords: np.ndarray
+                           ) -> np.ndarray:
+    """Return ME output coords with the batch index in column 0.
+
+    Recent ME versions put the batch index FIRST; 0.4.x put it LAST.  The
+    convention is decided by structural invariants, never guessed: a valid
+    batch column must have values in [0, B) with EXACTLY the input's
+    per-batch row histogram (a same-resolution U-Net output has the input's
+    coordinate set row-for-row).  If both the first and last column satisfy
+    that (coordinates can collide with the batch-index range), the exact
+    coordinate join against the inputs disambiguates; if neither — or the
+    join fails both ways — this raises instead of writing misaligned acts.
+    """
+    if out_c.shape != in_coords.shape:
+        raise ValueError(
+            f"ME output coords {out_c.shape} != input coords "
+            f"{in_coords.shape}: the model output is not at input "
+            f"resolution — wrong model or stride"
+        )
+    batch_vals = in_coords[:, 0]
+    nb = int(batch_vals.max()) + 1
+    counts = np.bincount(batch_vals, minlength=nb)
+
+    def _histogram_fits(col: int) -> bool:
+        vals = out_c[:, col]
+        if vals.min() < 0 or vals.max() >= nb:
+            return False
+        return np.array_equal(np.bincount(vals, minlength=nb), counts)
+
+    def _join_fits(candidate: np.ndarray) -> bool:
+        try:
+            align_to_inputs(in_coords, candidate,
+                            np.zeros((len(candidate), 1), np.float32))
+            return True
+        except KeyError:
+            return False
+
+    as_first = out_c
+    as_last = np.concatenate([out_c[:, -1:], out_c[:, :-1]], axis=1)
+    fits_first, fits_last = _histogram_fits(0), _histogram_fits(-1)
+    if fits_first and fits_last:
+        fits_first, fits_last = _join_fits(as_first), _join_fits(as_last)
+        if fits_first and fits_last:
+            raise ValueError(
+                "ME output coords join the inputs under BOTH batch-column "
+                "conventions — cannot disambiguate; dump with a batch whose "
+                "coordinate range does not overlap [0, num_batches)"
+            )
+    if fits_first == fits_last:  # both False
+        raise ValueError(
+            "neither the first nor the last ME output coord column matches "
+            "the input batch histogram — coords are not a reordering of the "
+            "inputs (wrong checkpoint/model or lossy quantization)"
+        )
+    return as_first if fits_first else as_last
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("checkpoint", help="released .pth (nce / hardest)")
@@ -108,12 +165,7 @@ def main(argv=None):
         )
     with torch.no_grad():
         out = net(stensor)
-    out_c = out.C.cpu().numpy()
-    if out_c.shape[1] == 4 and not np.array_equal(out_c[:, 0], out_c[:, 0]):
-        pass
-    # normalize coord column order back to batch-first if ME gave batch-last
-    if not set(np.unique(out_c[:, 0])).issubset(set(np.unique(coords[:, 0]))):
-        out_c = np.concatenate([out_c[:, -1:], out_c[:, :-1]], axis=1)
+    out_c = normalize_batch_column(out.C.cpu().numpy(), coords)
     acts = align_to_inputs(coords, out_c, out.F.cpu().numpy())
 
     np.savez_compressed(args.output, coords=coords, feats=acts)

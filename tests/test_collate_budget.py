@@ -9,11 +9,21 @@ so a host-side regression (e.g. losing the native kernel-map builder or the
 per-sample hash-join structure) fails loudly instead of silently halving
 end-to-end throughput.
 """
+import os
 import time
 
 import numpy as np
+import pytest
 
 from pointcontrast_tpu.data import PadScheme, SyntheticPairDataset, collate_pair
+
+# Wall-clock assertions flake on heavily contended hosts no matter the
+# headroom; PC_TPU_SKIP_PERF_TESTS=1 opts such a CI host out (the functional
+# collation coverage lives in test_chunked / test_collate).
+pytestmark = pytest.mark.skipif(
+    os.environ.get("PC_TPU_SKIP_PERF_TESTS") == "1",
+    reason="wall-clock perf guard disabled by PC_TPU_SKIP_PERF_TESTS=1",
+)
 
 # Measured on the 1-core round-3/4 harness: ~0.47 s/batch chunked at full
 # bench scale (4 pairs x 45k pts).  This guard runs HALF the bench batch

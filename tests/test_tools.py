@@ -428,3 +428,85 @@ class TestPermutationProbe:
 
         m = _re.search(r"reduces max \|delta\| to ([0-9.e+-]+)", out)
         assert m and float(m.group(1)) < 1e-4, out
+
+
+class TestNormalizeBatchColumn:
+    """The ME golden-act dumper must normalize BOTH historical coordinate
+    conventions (batch-first in recent ME, batch-last in 0.4.x) by
+    structural invariants, and refuse loudly rather than misalign."""
+
+    def _inputs(self, n_per_batch=(7, 5), span=50, seed=0):
+        rng = np.random.RandomState(seed)
+        rows = []
+        for b, n in enumerate(n_per_batch):
+            # unique xyz per batch so the coordinate join is exact
+            xyz = rng.choice(span ** 3, size=n, replace=False)
+            xyz = np.stack([xyz // span ** 2, (xyz // span) % span,
+                            xyz % span], 1)
+            rows.append(np.concatenate(
+                [np.full((n, 1), b, np.int32), xyz.astype(np.int32)], 1))
+        return np.concatenate(rows, 0)
+
+    def test_batch_first_passthrough(self):
+        from pointcontrast_tpu.tools.make_reference_acts import (
+            normalize_batch_column,
+        )
+
+        coords = self._inputs()
+        perm = np.random.RandomState(1).permutation(len(coords))
+        out = normalize_batch_column(coords[perm], coords)
+        np.testing.assert_array_equal(out, coords[perm])
+
+    def test_batch_last_rotated(self):
+        from pointcontrast_tpu.tools.make_reference_acts import (
+            align_to_inputs,
+            normalize_batch_column,
+        )
+
+        coords = self._inputs()
+        perm = np.random.RandomState(2).permutation(len(coords))
+        batch_last = np.concatenate(
+            [coords[perm][:, 1:], coords[perm][:, :1]], 1)
+        out = normalize_batch_column(batch_last, coords)
+        np.testing.assert_array_equal(out, coords[perm])
+        # and the full path: feats land back in input order
+        feats = np.arange(len(coords), dtype=np.float32)[:, None]
+        acts = align_to_inputs(coords, out, feats[perm])
+        np.testing.assert_array_equal(acts, feats)
+
+    def test_ambiguous_histogram_resolved_by_join(self):
+        from pointcontrast_tpu.tools.make_reference_acts import (
+            normalize_batch_column,
+        )
+
+        # craft coords whose LAST column accidentally matches the batch
+        # histogram (x/y/z values inside [0, B)) — the exact join must
+        # still pick the correct batch-first reading
+        coords = np.array([
+            [0, 3, 4, 0],
+            [0, 5, 6, 1],
+            [1, 7, 8, 0],
+            [1, 9, 2, 1],
+        ], np.int32)
+        out = normalize_batch_column(coords.copy(), coords)
+        np.testing.assert_array_equal(out, coords)
+
+    def test_wrong_resolution_rejected(self):
+        from pointcontrast_tpu.tools.make_reference_acts import (
+            normalize_batch_column,
+        )
+
+        coords = self._inputs()
+        with pytest.raises(ValueError, match="not at input resolution"):
+            normalize_batch_column(coords[:-1], coords)
+
+    def test_non_reordering_rejected(self):
+        from pointcontrast_tpu.tools.make_reference_acts import (
+            normalize_batch_column,
+        )
+
+        coords = self._inputs()
+        bad = coords.copy()
+        bad[:, 0] = 99  # batch column out of range under BOTH conventions
+        with pytest.raises(ValueError, match="batch histogram"):
+            normalize_batch_column(bad, coords)
