@@ -29,6 +29,32 @@ def mask_rows(features: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     return features * valid[:, None].astype(features.dtype)
 
 
+def _gather_mode() -> str:
+    """Bounds mode for the hot-path row gathers (read at TRACE time).
+
+    Every map index is in-bounds BY CONSTRUCTION — missing neighbors point
+    at the pad row (collate/chunk invariant), never past the table — so
+    jnp.take's default 'fill' mode pays for a redundant out-of-bounds
+    select: on TPU the select materializes as a SEPARATE full-bandwidth
+    fusion pass over each gathered [S*G, C] block plus a layout copy
+    (round-5 trace: broadcast_select fusions + reshapes ≈ 18% of the
+    pretrain step device time).  'promise_in_bounds' skips clamp and
+    select entirely.  PC_TPU_GATHER_MODE=fill restores the old semantics
+    (useful only for debugging corrupt maps)."""
+    return os.environ.get("PC_TPU_GATHER_MODE", "promise_in_bounds")
+
+
+def _take_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Hot-path row gather: ``table[idx]`` along axis 0, no bounds select.
+
+    jnp.take only exposes fill/clip/wrap; the true no-check mode needs the
+    .at[].get() surface (lax.GatherScatterMode.PROMISE_IN_BOUNDS)."""
+    mode = _gather_mode()
+    if mode == "fill":
+        return jnp.take(table, idx, axis=0)
+    return jnp.asarray(table).at[idx].get(mode=mode)
+
+
 def _center_of(rev) -> int | None:
     """Index of the zero offset in a kernel: the unique fixed point of the
     offset-reversal permutation (rev[k] == k iff offset_k == -offset_k == 0).
@@ -71,7 +97,7 @@ def _conv_core(features, nbr, weights, center: int | None = None):
         y = jnp.dot(
             features, w_k, preferred_element_type=jnp.float32
         ).astype(features.dtype)
-        return acc + jnp.take(y, nbr_k, axis=0).astype(jnp.float32), None
+        return acc + _take_rows(y, nbr_k).astype(jnp.float32), None
 
     def seg(acc, w_seg, nbr_seg):
         if w_seg.shape[0] == 0:
@@ -126,7 +152,7 @@ def _conv_sym_bwd(rev, res, ct):
 
     def body(acc, inputs):
         w_k, nbr_rk = inputs
-        g = jnp.take(ct, nbr_rk, axis=0)  # [N_in, cout]
+        g = _take_rows(ct, nbr_rk)  # [N_in, cout]
         df = acc + jnp.dot(g, w_k.T.astype(g.dtype),
                            preferred_element_type=f32)
         dw_k = jnp.dot(features.astype(f32).T, g.astype(f32),
@@ -193,7 +219,7 @@ def _conv_chunk_core(features, nbr, weights, center: int | None = None):
             "bsc,cd->bsd", f3, w_k, preferred_element_type=jnp.float32
         ).astype(features.dtype)
         g = jnp.stack(
-            [jnp.take(y[b], nbr_k[b], axis=0) for b in range(b_)]
+            [_take_rows(y[b], nbr_k[b]) for b in range(b_)]
         )
         return acc + g.astype(jnp.float32), None
 
@@ -242,7 +268,7 @@ def _conv_chunk_sym_bwd(rev, res, ct):
     def body(acc, inputs):
         w_k, nbr_rk = inputs
         g = jnp.stack(
-            [jnp.take(ct3[b], nbr_rk[b], axis=0) for b in range(b_)]
+            [_take_rows(ct3[b], nbr_rk[b]) for b in range(b_)]
         )  # [B, S, cout]
         df = acc + jnp.einsum(
             "bsd,cd->bsc", g, w_k.astype(g.dtype), preferred_element_type=f32
@@ -313,6 +339,20 @@ _conv_chunk_sym.defvjp(_conv_chunk_sym_fwd, _conv_chunk_sym_bwd)
 # [S, G*Cin].
 
 
+def _col_mode() -> str:
+    """How the fused im2col column block feeds the MXU (read at TRACE time).
+
+    'reshape' (default): gather [S*G, Cin] s-major, physical reshape to
+    [S, G*Cin], one 2-D matmul.  The reshape is a tiled-layout relayout on
+    TPU — a separate full-bandwidth HBM pass per gather (round-5 trace:
+    ~29 ms of reshapes in the 226 ms pretrain step).
+    'dotg': gather [S, G, Cin] directly (2-D index matrix) and contract
+    over (g, c) in ONE dot_general — no explicit relayout; XLA chooses how
+    to feed the MXU.  Measured within-run by
+    experiments/gather_mode_probe.py --cols."""
+    return os.environ.get("PC_TPU_CONV_COL", "reshape")
+
+
 def _fused_group() -> int:
     raw = os.environ.get("PC_TPU_CONV_FUSED_GROUP")
     if not raw:
@@ -340,8 +380,11 @@ def _conv_chunk_fused_core(features, nbr, weights, rev, group):
     groups = _offset_groups(k, center, group)
     f3 = _chunk_view(features, b_)
     f32 = jnp.float32
+    dotg = _col_mode() == "dotg"
     # Pre-reshape the per-group weight blocks once (shared across chunks).
     w_blocks = [
+        weights[np.asarray(ga, np.int32)]
+        if dotg else
         weights[np.asarray(ga, np.int32)]
         .reshape(len(ga) * weights.shape[1], cout)
         for ga in groups
@@ -359,10 +402,20 @@ def _conv_chunk_fused_core(features, nbr, weights, rev, group):
         else:
             acc = jnp.zeros((s_, cout), f32)
         for ga, w_g in zip(groups, w_blocks):
+            if dotg:
+                idx2 = jnp.transpose(
+                    nbr[np.asarray(ga, np.int32), b, :]
+                )  # [S, G]
+                col3 = _take_rows(fb, idx2)  # [S, G, Cin]
+                acc = acc + jnp.einsum(
+                    "sgc,gcd->sd", col3, w_g.astype(col3.dtype),
+                    preferred_element_type=f32,
+                )
+                continue
             idx = jnp.transpose(
                 nbr[np.asarray(ga, np.int32), b, :]
             ).reshape(-1)  # s-major: row s holds its G neighbor rows
-            col = jnp.take(fb, idx, axis=0).reshape(
+            col = _take_rows(fb, idx).reshape(
                 s_, len(ga) * fb.shape[-1]
             )
             acc = acc + jnp.dot(
@@ -398,8 +451,11 @@ def _conv_chunk_fused_bwd(rev, group, res, ct):
     f3 = _chunk_view(features, b_)
     ct3 = _chunk_view(ct, b_)
     f32 = jnp.float32
-    # [W_k^T] stacked per group: [G*Cout, Cin]
+    dotg = _col_mode() == "dotg"
+    # [W_k^T] stacked per group: [G*Cout, Cin] (or [G, Cout, Cin] for dotg)
     wt_blocks = [
+        weights[np.asarray(ga, np.int32)].transpose(0, 2, 1)
+        if dotg else
         weights[np.asarray(ga, np.int32)]
         .transpose(0, 2, 1)
         .reshape(len(ga) * cout, cin)
@@ -422,10 +478,26 @@ def _conv_chunk_fused_bwd(rev, group, res, ct):
             df = jnp.zeros((s_, cin), f32)
         for ga, wt_g in zip(groups, wt_blocks):
             g_n = len(ga)
+            if dotg:
+                idx2 = jnp.transpose(
+                    nbr[rev_np[np.asarray(ga, np.int32)], b, :]
+                )  # [S, G]
+                colc3 = _take_rows(ctb, idx2)  # [S, G, Cout]
+                df = df + jnp.einsum(
+                    "sgd,gdc->sc", colc3, wt_g.astype(colc3.dtype),
+                    preferred_element_type=f32,
+                )
+                dw = dw.at[np.asarray(ga, np.int32)].add(
+                    jnp.einsum(
+                        "sc,sgd->gcd", fb.astype(f32), colc3.astype(f32),
+                        preferred_element_type=f32,
+                    )
+                )
+                continue
             idx = jnp.transpose(
                 nbr[rev_np[np.asarray(ga, np.int32)], b, :]
             ).reshape(-1)
-            colc = jnp.take(ctb, idx, axis=0).reshape(s_, g_n * cout)
+            colc = _take_rows(ctb, idx).reshape(s_, g_n * cout)
             df = df + jnp.dot(
                 colc, wt_g.astype(colc.dtype), preferred_element_type=f32
             )
@@ -464,7 +536,7 @@ _conv_chunk_fused.defvjp(_conv_chunk_fused_fwd, _conv_chunk_fused_bwd)
 def _down_col(features_b, nbr, b, ga):
     """col [S_out, G*Cin] for chunk b over offset group ga (s-major)."""
     idx = jnp.transpose(nbr[np.asarray(ga, np.int32), b, :]).reshape(-1)
-    return jnp.take(features_b, idx, axis=0).reshape(
+    return _take_rows(features_b, idx).reshape(
         nbr.shape[2], len(ga) * features_b.shape[-1]
     ), idx
 
@@ -596,7 +668,7 @@ def _conv_chunk_down2_bwd(group, res, ct):
     ).reshape(b_, k * s_out, cin)
     idx = up_offset.astype(jnp.int32) * s_out + up_parent.astype(jnp.int32)
     df = jnp.stack(
-        [jnp.take(tables[b], idx[b], axis=0) for b in range(b_)]
+        [_take_rows(tables[b], idx[b]) for b in range(b_)]
     ).reshape(features.shape).astype(features.dtype)
     # dW: re-take the im2col block per group (residual-lean), col^T @ ct
     dw = jnp.zeros((k, cin, cout), f32)
@@ -677,7 +749,7 @@ def sparse_conv(
 
     if k == 1:
         y = jnp.dot(features, weights[0], preferred_element_type=jnp.float32)
-        out = jnp.take(y, nbr[0], axis=0).astype(features.dtype)
+        out = _take_rows(y, nbr[0]).astype(features.dtype)
     elif (
         rev is not None
         and n_out == features.shape[0]
@@ -712,7 +784,7 @@ def _conv_tr_chunk_core(features, up_parent, up_offset, weights):
     ).astype(features.dtype)
     ys = ys.reshape(b_, k * s_c, cout)
     idx = up_offset.astype(jnp.int32) * s_c + up_parent.astype(jnp.int32)
-    g = jnp.stack([jnp.take(ys[b], idx[b], axis=0) for b in range(b_)])
+    g = jnp.stack([_take_rows(ys[b], idx[b]) for b in range(b_)])
     return g.reshape(b_ * s_fine, cout)
 
 
@@ -806,7 +878,7 @@ def sparse_conv_transpose(
     def body(acc, inputs):
         w_k, k_idx = inputs
         y = jnp.dot(features, w_k, preferred_element_type=jnp.float32)
-        g = jnp.take(y, up_parent, axis=0)  # [N_fine, Cout]
+        g = _take_rows(y, up_parent)  # [N_fine, Cout]
         sel = (up_offset == k_idx).astype(jnp.float32)[:, None]
         return acc + g * sel, None
 
@@ -827,7 +899,7 @@ def _chunk_take(features, idx):
     [B, S_out] frame-local -> [B * S_out, C]."""
     b_ = idx.shape[0]
     f3 = _chunk_view(features, b_)
-    out = jnp.stack([jnp.take(f3[b], idx[b], axis=0) for b in range(b_)])
+    out = jnp.stack([_take_rows(f3[b], idx[b]) for b in range(b_)])
     return out.reshape(b_ * idx.shape[1], features.shape[-1])
 
 
@@ -840,7 +912,7 @@ def sparse_sum_pool(
         out = sum(_chunk_take(features, down_nbr[i]) for i in range(k))
     else:
         k, n_out = down_nbr.shape
-        g = jnp.take(features, down_nbr.reshape(-1), axis=0)
+        g = _take_rows(features, down_nbr.reshape(-1))
         out = g.reshape(k, n_out, -1).sum(axis=0)
     if valid_out is not None:
         out = mask_rows(out, valid_out)
@@ -866,8 +938,8 @@ def sparse_avg_pool(
             out = mask_rows(out, valid_out)
         return out
     k, n_out = down_nbr.shape
-    g = jnp.take(features, down_nbr.reshape(-1), axis=0).reshape(k, n_out, -1)
-    cnt = jnp.take(valid_in, down_nbr.reshape(-1), axis=0).reshape(k, n_out)
+    g = _take_rows(features, down_nbr.reshape(-1)).reshape(k, n_out, -1)
+    cnt = _take_rows(valid_in, down_nbr.reshape(-1)).reshape(k, n_out)
     total = g.sum(axis=0)
     denom = jnp.maximum(cnt.sum(axis=0), 1.0)[:, None]
     out = total / denom.astype(total.dtype)
@@ -886,7 +958,7 @@ def sparse_avg_unpool(
     if up_parent.ndim == 2:  # chunked layout
         out = _chunk_take(features, up_parent)
     else:
-        out = jnp.take(features, up_parent, axis=0)
+        out = _take_rows(features, up_parent)
     if valid_out is not None:
         out = mask_rows(out, valid_out)
     return out
